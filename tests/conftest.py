@@ -1,0 +1,17 @@
+"""Test config: run on a virtual 8-device CPU mesh so sharding paths are
+exercised without TPU hardware. Must run before jax initializes."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may preset a TPU platform
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

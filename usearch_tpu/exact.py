@@ -1,0 +1,208 @@
+"""Exact brute-force k-NN engine — the TPU-native `exact_search_t`
+(reference: include/usearch/index_plugins.hpp:2071-2164 and the
+`usearch.index.search(..., exact=True)` path, python/usearch/index.py:1517).
+
+Instead of the reference's three-phase "distance matrix → transpose →
+partial_sort" on CPU threads, the whole thing is ONE jitted XLA program:
+tile matmul on the MXU fused with a streaming top-k merge. Small tables take
+the single-shot path (full [Q, N] scores); large tables stream via `lax.scan`
+so HBM holds only the running [Q, k] candidates.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .enums import MetricKind, ScalarKind, normalize_dtype, normalize_metric, to_jax_dtype
+from .matches import BatchMatches
+from .ops.casts import cast_vectors
+from .ops.distances import MASKED, row_stats, tile_dists
+from .ops.topk import masked_topk, scan_topk
+
+#: Row-tile target in bytes for the streaming scan: large enough to keep the
+#: MXU busy, small enough to double-buffer in VMEM.
+_TILE_BYTES = 4 * 1024 * 1024
+#: Above this many rows the scan path replaces the single-shot path.
+_SINGLE_SHOT_MAX_ROWS = 65536
+#: Broadcast metrics ([Q, T, D] intermediates) cap the tile element count.
+_BROADCAST_TILE_ELEMS = 16 * 1024 * 1024
+
+
+def pad_rows(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def pad_queries(n: int) -> int:
+    """Bucket query counts to powers of two (min 8) to bound recompiles."""
+    return max(8, 1 << (n - 1).bit_length())
+
+
+def pick_tile_rows(n_rows: int, row_bytes: int, metric: MetricKind, ndim: int, n_queries: int) -> int:
+    tile = _TILE_BYTES // max(row_bytes, 1)
+    if metric in (MetricKind.Divergence, MetricKind.Jaccard):
+        cap = max(_BROADCAST_TILE_ELEMS // max(n_queries * max(ndim, 1), 1), 8)
+        if metric == MetricKind.Jaccard:
+            cap = max(cap // max(ndim, 1), 8)
+        tile = min(tile, cap)
+    tile = 1 << max(int(math.floor(math.log2(max(tile, 8)))), 3)
+    return min(tile, n_rows)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 7, 8, 9))
+def search_kernel(
+    metric: MetricKind,
+    kind: ScalarKind,
+    q: jnp.ndarray,
+    q_stats: jnp.ndarray,
+    table: jnp.ndarray,
+    stats: jnp.ndarray,
+    valid: jnp.ndarray,
+    ndim: int,
+    k: int,
+    tile_rows: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Jitted top-k search of prepared queries against a prepared table."""
+    n_rows = table.shape[0]
+    if n_rows <= tile_rows:
+        d = tile_dists(metric, kind, q, q_stats, table, stats, ndim)
+        return masked_topk(d, valid, k)
+    return scan_topk(metric, kind, q, q_stats, table, stats, valid, k, tile_rows, ndim)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def stats_kernel(kind: ScalarKind, rows: jnp.ndarray) -> jnp.ndarray:
+    return row_stats(rows, kind)
+
+
+def storage_width(kind: ScalarKind, ndim: int) -> int:
+    """Padded per-row storage width (elements) for a logical ``ndim``.
+
+    b1 rows are packed bytes padded to 128-byte lanes (=1024 bits); other
+    kinds pad dims to the 128-lane boundary so matmuls tile cleanly on the MXU.
+    """
+    if kind == ScalarKind.B1:
+        nbytes = (ndim + 7) // 8
+        return pad_rows(nbytes, 128)
+    return pad_rows(ndim, 128)
+
+
+def prepare_rows(vectors: np.ndarray, input_kind: ScalarKind, kind: ScalarKind, ndim: int) -> np.ndarray:
+    """Host cast + zero-pad a [B, ndim] batch into storage layout [B, width]."""
+    vectors = np.atleast_2d(vectors)
+    cast = cast_vectors(vectors, input_kind, kind, ndim)
+    width = storage_width(kind, ndim)
+    if cast.shape[-1] < width:
+        pad = np.zeros((*cast.shape[:-1], width - cast.shape[-1]), dtype=cast.dtype)
+        cast = np.concatenate([cast, pad], axis=-1)
+    return cast
+
+
+def prepare_set_rows(vectors: np.ndarray, width: int) -> np.ndarray:
+    """Pad sorted-integer-set rows with the -1 sentinel to ``width`` (int32)."""
+    vectors = np.atleast_2d(np.asarray(vectors, dtype=np.int32))
+    if vectors.shape[-1] < width:
+        pad = np.full((*vectors.shape[:-1], width - vectors.shape[-1]), -1, dtype=np.int32)
+        vectors = np.concatenate([vectors, pad], axis=-1)
+    return vectors
+
+
+def input_kind_of(vectors: np.ndarray, index_kind: ScalarKind) -> ScalarKind:
+    """Infer the scalar kind of user-provided numpy vectors."""
+    dt = np.asarray(vectors).dtype
+    if dt == np.uint8:
+        return ScalarKind.B1  # packed bits (b1x8 convention)
+    if dt == np.int8:
+        return ScalarKind.I8
+    if dt == np.float64:
+        return ScalarKind.F64
+    if dt == np.float16:
+        return ScalarKind.F16
+    if dt.name == "bfloat16":
+        return ScalarKind.BF16
+    if dt == np.float32:
+        return ScalarKind.F32
+    if np.issubdtype(dt, np.integer):
+        return ScalarKind.F32  # generic ints are treated as floats
+    raise ValueError(f"Unsupported input dtype: {dt}")
+
+
+def exact_search(
+    dataset: np.ndarray,
+    queries: np.ndarray,
+    count: int = 10,
+    metric=MetricKind.IP,
+    dtype=None,
+    threads: int = 0,
+    log: bool = False,
+    progress=None,
+) -> BatchMatches:
+    """Brute-force search `queries` against `dataset` rows; indices are keys.
+
+    Mirrors `usearch.compiled.exact_search` (reference: python/lib.cpp:1059)
+    with identical result semantics: keys are dataset row numbers.
+    """
+    metric = normalize_metric(metric)
+    dataset = np.atleast_2d(dataset)
+    queries = np.atleast_2d(queries)
+    single = queries.ndim == 1
+    n_rows, _ = dataset.shape
+    n_q = queries.shape[0]
+    count = min(count, n_rows)
+
+    in_kind = input_kind_of(dataset, None)
+    kind = normalize_dtype(dtype, metric=metric) if dtype is not None else in_kind
+    if in_kind == ScalarKind.B1:
+        ndim = dataset.shape[1] * 8
+        kind = ScalarKind.B1
+    else:
+        ndim = dataset.shape[1]
+
+    if metric == MetricKind.Jaccard:
+        kind = ScalarKind.F32  # placeholder kind; storage is int32 sets
+        width = pad_rows(max(dataset.shape[1], queries.shape[1]), 8)
+        table_np = prepare_set_rows(dataset, width)
+        q_np = prepare_set_rows(queries, width)
+    else:
+        table_np = prepare_rows(dataset, in_kind, kind, ndim)
+        q_np = prepare_rows(queries, input_kind_of(queries, None), kind, ndim)
+
+    pad_value = -1 if metric == MetricKind.Jaccard else 0
+    row_tile = 8
+    n_pad = pad_rows(n_rows, row_tile)
+    if n_pad > table_np.shape[0]:
+        table_np = np.concatenate(
+            [table_np, np.full((n_pad - n_rows, table_np.shape[1]), pad_value, dtype=table_np.dtype)]
+        )
+    q_pad = pad_queries(n_q)
+    if q_pad > n_q:
+        q_np = np.concatenate(
+            [q_np, np.full((q_pad - n_q, q_np.shape[1]), pad_value, dtype=q_np.dtype)]
+        )
+
+    jdt = jnp.int32 if metric == MetricKind.Jaccard else to_jax_dtype(kind)
+    table = jnp.asarray(table_np, dtype=jdt)
+    q = jnp.asarray(q_np, dtype=jdt)
+    stats = stats_kernel(kind, table)
+    q_stats = stats_kernel(kind, q)
+    valid = jnp.arange(n_pad) < n_rows
+
+    tile_rows = pick_tile_rows(n_pad, table_np.shape[1] * table_np.itemsize, metric, ndim, q_pad)
+    while n_pad % tile_rows:
+        tile_rows //= 2
+    d, i = search_kernel(metric, kind, q, q_stats, table, stats, valid, ndim, count, tile_rows)
+    d = np.asarray(d)[:n_q]
+    i = np.asarray(i)[:n_q]
+    counts = np.sum(i >= 0, axis=1).astype(np.uint64)
+    keys = np.where(i >= 0, i, 0).astype(np.uint64)
+    return BatchMatches(
+        keys=keys,
+        distances=d.astype(np.float32),
+        counts=counts,
+        computed_distances=int(n_rows) * n_q,
+    )

@@ -1,0 +1,954 @@
+"""`Index` — the flagship TPU-native vector index.
+
+This is the re-design of the reference's `index_dense_gt`
+(reference: include/usearch/index_dense.hpp:387-2227) plus its Python facade
+(reference: python/usearch/index.py:490-1470). Instead of an HNSW proximity
+graph walked by branchy pointer-chasing threads, vectors live in a
+capacity-padded HBM table scored by MXU matmuls with a streaming top-k
+(see ops/ and exact.py). Consequences of the design:
+
+- `add` / `remove` / `rename` are functional table updates (donated-buffer
+  scatters), free slots are recycled exactly like the reference's
+  `free_keys_` ring (index_dense.hpp:1479-1511, 2020-2049);
+- deleted rows are filtered by a validity mask applied inside the scoring
+  kernel — the TPU analog of the `free_key_` search predicate
+  (index_dense.hpp:2072-2084);
+- search is exact by default (recall 1.0); for large tables an IVF-style
+  partitioned scan (see ivf.py) bounds the scanned rows, with
+  `expansion_search` mapping to the probe budget the way `ef` bounds the
+  HNSW beam.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .enums import (
+    DEFAULT_CONNECTIVITY,
+    DEFAULT_EXPANSION_ADD,
+    DEFAULT_EXPANSION_SEARCH,
+    MetricKind,
+    ScalarKind,
+    normalize_dtype,
+    normalize_metric,
+    to_jax_dtype,
+    to_numpy_dtype,
+)
+from .exact import (
+    input_kind_of,
+    pad_queries,
+    pad_rows,
+    pick_tile_rows,
+    prepare_rows,
+    prepare_set_rows,
+    search_kernel,
+    stats_kernel,
+    storage_width,
+)
+from .keymap import KeyMap
+from .matches import BatchMatches, Clustering, Key, Matches
+from .ops.casts import cast_from_i8_np, cast_vectors
+from .ops.distances import MASKED, pair_dists
+from .ops.packbits import unpack_bits_np
+
+#: Capacity quantum — device arrays grow in multiples of this many rows.
+ROW_TILE = 1024
+
+
+@jax.jit
+def _scatter_rows(table, stats, valid, slots, rows, rstats):
+    """Insert rows at ``slots``; padded entries carry an out-of-bounds slot
+    (== capacity) and are dropped by JAX's scatter semantics."""
+    table = table.at[slots].set(rows)
+    stats = stats.at[slots].set(rstats)
+    valid = valid.at[slots].set(True)
+    return table, stats, valid
+
+
+@jax.jit
+def _invalidate_rows(valid, slots):
+    return valid.at[slots].set(False)
+
+
+@jax.jit
+def _gather_rows(table, slots):
+    return table[slots]
+
+
+class IndexStats:
+    """Observability counters (reference exposes nodes/edges/bytes via
+    `index_gt::stats`, include/usearch/index.hpp:3133-3225; our analog counts
+    rows and scanned distances)."""
+
+    def __init__(self, nodes: int, edges: int, max_edges: int, allocated_bytes: int):
+        self.nodes = nodes
+        self.edges = edges
+        self.max_edges = max_edges
+        self.allocated_bytes = allocated_bytes
+
+    def __repr__(self) -> str:
+        return (
+            f"usearch_tpu.IndexStats(nodes={self.nodes}, edges={self.edges}, "
+            f"allocated_bytes={self.allocated_bytes})"
+        )
+
+
+class Index:
+    """Dense vector index with USearch's API on a TPU-native engine.
+
+    Quick start (mirrors reference README.md:119-131)::
+
+        index = Index(ndim=3)
+        index.add(42, np.array([0.2, 0.6, 0.4]))
+        matches = index.search(np.array([0.2, 0.6, 0.4]), 10)
+    """
+
+    def __init__(
+        self,
+        *,
+        ndim: int = 0,
+        metric=MetricKind.Cos,
+        dtype=None,
+        connectivity: int = DEFAULT_CONNECTIVITY,
+        expansion_add: int = DEFAULT_EXPANSION_ADD,
+        expansion_search: int = DEFAULT_EXPANSION_SEARCH,
+        multi: bool = False,
+        view: bool = False,
+        path=None,
+        enable_key_lookups: bool = True,
+    ) -> None:
+        self._metric_kind = normalize_metric(metric)
+        if self._metric_kind == MetricKind.Haversine and ndim == 0:
+            ndim = 2
+        self._dtype = normalize_dtype(dtype, ndim=ndim, metric=self._metric_kind)
+        if self._metric_kind == MetricKind.Jaccard:
+            # sorted-set vectors: stored as padded int32 sets
+            self._dtype = ScalarKind.I8  # placeholder; real storage is int32 sets
+        if ndim <= 0:
+            raise ValueError("ndim must be positive")
+        self._ndim = int(ndim)
+        self._connectivity = int(connectivity)
+        self._expansion_add = int(expansion_add)
+        self._expansion_search = int(expansion_search)
+        self._multi = bool(multi)
+        self._enable_key_lookups = bool(enable_key_lookups)
+
+        self._is_set_index = self._metric_kind == MetricKind.Jaccard
+        if self._is_set_index:
+            self._width = pad_rows(self._ndim, 8)
+            self._np_dtype = np.int32
+            self._jax_dtype = jnp.int32
+        else:
+            self._width = storage_width(self._dtype, self._ndim)
+            self._np_dtype = to_numpy_dtype(self._dtype)
+            self._jax_dtype = to_jax_dtype(self._dtype)
+
+        self._capacity = 0
+        self._table = None  # jnp [capacity, width]
+        self._stats = None  # jnp [capacity, 2] f32
+        self._valid = None  # jnp [capacity] bool
+        self._slot_keys = np.zeros(0, dtype=np.uint64)
+        self._keymap = KeyMap(multi=self._multi)
+        self._free_slots: List[int] = []
+        self._next_slot = 0
+        self._count = 0
+        self._host_f64: Optional[np.ndarray] = None  # exact f64 rows, host-side
+
+        self._visited_members = 0
+        self._computed_distances = 0
+        self._path = None
+        self._viewed = False
+        self._ivf = None  # lazily-built partitioned scan (ivf.IVFPartitions)
+        self._ivf_dirty = True
+
+        if path is not None and os.path.exists(str(path)):
+            if view:
+                self.view(path)
+            else:
+                self.load(path)
+        self._path = str(path) if path is not None else None
+
+    # ------------------------------------------------------------------
+    # Introspection
+    # ------------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return self._count
+
+    @property
+    def size(self) -> int:
+        return self._count
+
+    @property
+    def ndim(self) -> int:
+        return self._ndim
+
+    @property
+    def dtype(self) -> ScalarKind:
+        return ScalarKind.I8 if self._is_set_index else self._dtype
+
+    @property
+    def metric_kind(self) -> MetricKind:
+        return self._metric_kind
+
+    @property
+    def metric(self) -> MetricKind:
+        return self._metric_kind
+
+    @metric.setter
+    def metric(self, metric):
+        new = normalize_metric(metric)
+        if new != self._metric_kind:
+            self._metric_kind = new
+            self._refresh_stats()
+
+    @property
+    def connectivity(self) -> int:
+        return self._connectivity
+
+    @property
+    def capacity(self) -> int:
+        return self._capacity
+
+    @property
+    def expansion_add(self) -> int:
+        return self._expansion_add
+
+    @expansion_add.setter
+    def expansion_add(self, v: int):
+        self._expansion_add = int(v)
+
+    @property
+    def expansion_search(self) -> int:
+        return self._expansion_search
+
+    @expansion_search.setter
+    def expansion_search(self, v: int):
+        self._expansion_search = int(v)
+
+    @property
+    def multi(self) -> bool:
+        return self._multi
+
+    @property
+    def jit(self) -> bool:
+        return True  # every search/add path is XLA-jitted
+
+    @property
+    def hardware_acceleration(self) -> str:
+        dev = jax.devices()[0]
+        return dev.platform
+
+    @property
+    def memory_usage(self) -> int:
+        if self._capacity == 0:
+            return 0
+        bytes_per = np.dtype(self._np_dtype).itemsize
+        if self._jax_dtype == jnp.bfloat16:
+            bytes_per = 2
+        return self._capacity * (self._width * bytes_per + 8 + 1) + len(self._slot_keys) * 8
+
+    @property
+    def serialized_length(self) -> int:
+        row_bytes = self._logical_row_bytes()
+        return 64 + self._count * (8 + row_bytes)
+
+    def _logical_row_bytes(self) -> int:
+        if self._is_set_index:
+            return self._ndim * 4
+        if self._dtype == ScalarKind.B1:
+            return (self._ndim + 7) // 8
+        return self._ndim * np.dtype(to_numpy_dtype(self._dtype)).itemsize
+
+    @property
+    def max_level(self) -> int:
+        return 0
+
+    @property
+    def nlevels(self) -> int:
+        return 1
+
+    @property
+    def keys(self) -> "IndexedKeys":
+        return IndexedKeys(self)
+
+    @property
+    def vectors(self) -> np.ndarray:
+        keys = self._live_keys()
+        if len(keys) == 0:
+            return np.zeros((0, self._ndim), dtype=np.float32)
+        got = self.get(keys)
+        if isinstance(got, np.ndarray) and got.ndim == 2:
+            return got
+        return np.vstack([g for g in (got if isinstance(got, (list, tuple)) else [got])])
+
+    def _live_slots(self) -> np.ndarray:
+        if self._next_slot == 0:
+            return np.zeros(0, dtype=np.int64)
+        valid = np.asarray(self._valid)[: self._next_slot]
+        return np.nonzero(valid)[0]
+
+    def _live_keys(self) -> np.ndarray:
+        return self._slot_keys[self._live_slots()].astype(np.uint64)
+
+    def __repr__(self) -> str:
+        f = "usearch_tpu.Index({} x {}, {}, multi: {}, engine: tpu-exact+ivf)"
+        return f.format(self.dtype.value, self._ndim, self._metric_kind.value, self._multi)
+
+    def _repr_pretty_(self, printer, cycle):  # pragma: no cover
+        printer.text(self.__repr__())
+
+    @property
+    def specs(self) -> Dict[str, Any]:
+        return {
+            "Class": "usearch_tpu.Index",
+            "Connectivity": self._connectivity,
+            "Dimensions": self._ndim,
+            "Expansion@Add": self._expansion_add,
+            "Expansion@Search": self._expansion_search,
+            "Loaded": self._path,
+            "Size": self.size,
+            "JIT": self.jit,
+            "Hardware": self.hardware_acceleration,
+            "DataType": self.dtype.value,
+            "MetricKind": self._metric_kind.value,
+            "Multi": self._multi,
+        }
+
+    def stats_object(self) -> IndexStats:
+        return IndexStats(
+            nodes=self._count,
+            edges=0,
+            max_edges=0,
+            allocated_bytes=self.memory_usage,
+        )
+
+    @property
+    def stats(self) -> IndexStats:
+        return self.stats_object()
+
+    @property
+    def levels_stats(self) -> List[IndexStats]:
+        return [self.stats_object()]
+
+    def level_stats(self, level: int) -> IndexStats:
+        if level != 0:
+            return IndexStats(0, 0, 0, 0)
+        return self.stats_object()
+
+    # ------------------------------------------------------------------
+    # Capacity
+    # ------------------------------------------------------------------
+
+    def reserve(self, capacity: int) -> None:
+        capacity = pad_rows(max(int(capacity), 1), ROW_TILE)
+        if capacity <= self._capacity:
+            return
+        if self._table is None:
+            self._table = jnp.zeros((capacity, self._width), dtype=self._jax_dtype)
+            self._stats = jnp.zeros((capacity, 2), dtype=jnp.float32)
+            self._valid = jnp.zeros((capacity,), dtype=bool)
+        else:
+            extra = capacity - self._capacity
+            self._table = jnp.concatenate(
+                [self._table, jnp.zeros((extra, self._width), dtype=self._jax_dtype)]
+            )
+            self._stats = jnp.concatenate(
+                [self._stats, jnp.zeros((extra, 2), dtype=jnp.float32)]
+            )
+            self._valid = jnp.concatenate([self._valid, jnp.zeros((extra,), dtype=bool)])
+        self._slot_keys = np.concatenate(
+            [self._slot_keys, np.zeros(capacity - len(self._slot_keys), dtype=np.uint64)]
+        )
+        if self._host_f64 is not None:
+            self._host_f64 = np.concatenate(
+                [
+                    self._host_f64,
+                    np.zeros((capacity - len(self._host_f64), self._ndim), dtype=np.float64),
+                ]
+            )
+        self._capacity = capacity
+
+    def _ensure_capacity(self, extra_rows: int) -> None:
+        needed = self._next_slot + extra_rows - len(self._free_slots)
+        if needed > self._capacity:
+            target = max(needed, self._capacity * 2)
+            self.reserve(target)
+
+    # ------------------------------------------------------------------
+    # Ingestion
+    # ------------------------------------------------------------------
+
+    def _prepare_batch(self, vectors: np.ndarray) -> np.ndarray:
+        vectors = np.asarray(vectors)
+        if self._is_set_index:
+            return prepare_set_rows(vectors, self._width)
+        if vectors.ndim == 1:
+            vectors = vectors[None, :]
+        in_kind = input_kind_of(vectors, self._dtype)
+        expected = (self._ndim + 7) // 8 if in_kind == ScalarKind.B1 else self._ndim
+        if vectors.shape[1] != expected:
+            raise ValueError(
+                f"Expected {expected} columns for {in_kind.value} input, got {vectors.shape[1]}"
+            )
+        return prepare_rows(vectors, in_kind, self._dtype, self._ndim)
+
+    def add(
+        self,
+        keys,
+        vectors,
+        *,
+        copy: bool = True,
+        threads: int = 0,
+        log: Union[str, bool] = False,
+        progress: Optional[Callable[[int, int], bool]] = None,
+    ) -> Union[int, np.ndarray]:
+        if self._viewed:
+            raise RuntimeError("Can't add to an immutable viewed index")
+        vectors = np.asarray(vectors)
+        single = vectors.ndim == 1 and not self._is_set_index
+        if self._is_set_index and vectors.ndim == 1:
+            single = True
+            vectors = vectors[None, :]
+        rows = self._prepare_batch(vectors)
+        n = rows.shape[0]
+
+        if keys is None:
+            start = self._keymap.max_key() + 1 if len(self._keymap) else 0
+            keys_np = np.arange(start, start + n, dtype=np.uint64)
+        elif np.isscalar(keys) or isinstance(keys, (int, np.integer)):
+            keys_np = np.full(n, int(keys), dtype=np.uint64)
+            if n != 1 and not self._multi:
+                raise ValueError("Many vectors per key require multi=True")
+        else:
+            keys_np = np.asarray(keys, dtype=np.uint64)
+            if len(keys_np) != n:
+                raise ValueError(f"{len(keys_np)} keys for {n} vectors")
+
+        if not self._multi:
+            dups = self._keymap.contains_many(keys_np)
+            if np.any(dups):
+                raise KeyError(f"Duplicate keys (multi=False): {keys_np[dups][:5]}")
+            uniq, counts = np.unique(keys_np, return_counts=True)
+            if np.any(counts > 1):
+                raise KeyError(f"Duplicate keys within batch: {uniq[counts > 1][:5]}")
+
+        self._ensure_capacity(n)
+
+        # Slot assignment: recycle freed slots first (the reference's
+        # free_keys_ ring, index_dense.hpp:2020-2028), then append.
+        n_reuse = min(len(self._free_slots), n)
+        slots = np.empty(n, dtype=np.int64)
+        if n_reuse:
+            slots[:n_reuse] = self._free_slots[-n_reuse:]
+            del self._free_slots[-n_reuse:]
+        n_new = n - n_reuse
+        if n_new:
+            slots[n_reuse:] = np.arange(self._next_slot, self._next_slot + n_new)
+            self._next_slot += n_new
+
+        self._upload_rows(slots, rows, vectors if self._dtype == ScalarKind.F64 else None)
+        self._slot_keys[slots] = keys_np
+        self._keymap.insert_many(keys_np, slots)
+        self._count += n
+        self._ivf_dirty = True
+
+        if progress is not None:
+            progress(n, n)
+        if single:
+            return int(keys_np[0])
+        return keys_np
+
+    def _upload_rows(self, slots: np.ndarray, rows: np.ndarray, f64_rows) -> None:
+        if self._dtype == ScalarKind.F64 and not self._is_set_index:
+            if self._host_f64 is None:
+                self._host_f64 = np.zeros((self._capacity, self._ndim), dtype=np.float64)
+            if f64_rows is not None:
+                f = np.atleast_2d(np.asarray(f64_rows, dtype=np.float64))
+                self._host_f64[slots] = f[:, : self._ndim]
+            else:
+                self._host_f64[slots] = rows[:, : self._ndim].astype(np.float64)
+
+        n = len(slots)
+        n_pad = pad_queries(n)
+        if n_pad > n:
+            slots_pad = np.full(n_pad, self._capacity, dtype=np.int64)  # OOB → dropped
+            slots_pad[:n] = slots
+            rows_pad = np.zeros((n_pad, rows.shape[1]), dtype=rows.dtype)
+            rows_pad[:n] = rows
+        else:
+            slots_pad, rows_pad = slots, rows
+        rows_dev = jnp.asarray(rows_pad, dtype=self._jax_dtype)
+        kind = ScalarKind.F32 if self._is_set_index else self._dtype
+        rstats = stats_kernel(kind, rows_dev)
+        self._table, self._stats, self._valid = _scatter_rows(
+            self._table,
+            self._stats,
+            self._valid,
+            jnp.asarray(slots_pad, dtype=jnp.int32),
+            rows_dev,
+            rstats,
+        )
+
+    # ------------------------------------------------------------------
+    # Lookup / mutation
+    # ------------------------------------------------------------------
+
+    def contains(self, keys) -> Union[bool, np.ndarray]:
+        if isinstance(keys, Iterable) and not isinstance(keys, (str, bytes)):
+            return self._keymap.contains_many(np.asarray(keys, dtype=np.uint64))
+        return self._keymap.contains(int(keys))
+
+    def __contains__(self, keys):
+        return self.contains(keys)
+
+    def count(self, keys) -> Union[int, np.ndarray]:
+        if isinstance(keys, Iterable) and not isinstance(keys, (str, bytes)):
+            return self._keymap.count_many(np.asarray(keys, dtype=np.uint64))
+        return self._keymap.count(int(keys))
+
+    def get(
+        self,
+        keys,
+        dtype=None,
+    ) -> Union[Optional[np.ndarray], Tuple[Optional[np.ndarray], ...]]:
+        """Retrieve stored vectors (quantized representation decoded to
+        `dtype`, default f32). Matches reference `Index.get`
+        (python/usearch/index.py:765-810): None for missing keys; with
+        `multi`, a matrix of all vectors per key."""
+        out_kind = normalize_dtype(dtype, metric=self._metric_kind) if dtype is not None else ScalarKind.F32
+        single = np.isscalar(keys) or isinstance(keys, (int, np.integer))
+        keys_np = np.atleast_1d(np.asarray(keys, dtype=np.uint64))
+
+        results: List[Optional[np.ndarray]] = []
+        for key in keys_np.tolist():
+            slots = self._keymap.slots_of(key)
+            if not slots:
+                results.append(None)
+                continue
+            rows = self._fetch_slots(np.asarray(slots, dtype=np.int64), out_kind)
+            results.append(rows if self._multi else rows[0])
+
+        if single:
+            return results[0]
+        if not self._multi and all(r is not None for r in results):
+            return np.stack(results)
+        return tuple(results)
+
+    def _fetch_slots(self, slots: np.ndarray, out_kind: ScalarKind) -> np.ndarray:
+        if self._is_set_index:
+            rows = np.asarray(_gather_rows(self._table, jnp.asarray(slots)))
+            return rows[:, : self._ndim]
+        if self._dtype == ScalarKind.F64 and self._host_f64 is not None:
+            stored = self._host_f64[slots]
+            return stored.astype(to_numpy_dtype(out_kind)) if out_kind != ScalarKind.F64 else stored
+        rows = np.asarray(_gather_rows(self._table, jnp.asarray(slots)))
+        if self._dtype == ScalarKind.B1:
+            packed = rows[:, : (self._ndim + 7) // 8].astype(np.uint8)
+            if out_kind == ScalarKind.B1:
+                return packed
+            return unpack_bits_np(packed, self._ndim).astype(to_numpy_dtype(out_kind))
+        rows = rows[:, : self._ndim]
+        return cast_vectors(rows, self._dtype, out_kind, self._ndim)
+
+    def __getitem__(self, keys):
+        return self.get(keys)
+
+    def remove(
+        self,
+        keys,
+        *,
+        compact: bool = False,
+        threads: int = 0,
+    ) -> Union[int, np.ndarray]:
+        """Unlink keys; their slots go to the free ring for reuse
+        (reference: index_dense.hpp:1479-1511)."""
+        if self._viewed:
+            raise RuntimeError("Can't remove from an immutable viewed index")
+        single = np.isscalar(keys) or isinstance(keys, (int, np.integer))
+        keys_np = np.atleast_1d(np.asarray(keys, dtype=np.uint64))
+        counts = np.zeros(len(keys_np), dtype=np.uint64)
+        all_slots: List[int] = []
+        for i, key in enumerate(keys_np.tolist()):
+            slots = self._keymap.pop(key)
+            counts[i] = len(slots)
+            all_slots.extend(slots)
+        if all_slots:
+            slots_np = np.asarray(all_slots, dtype=np.int64)
+            n_pad = pad_queries(len(slots_np))
+            slots_pad = np.full(n_pad, self._capacity, dtype=np.int64)
+            slots_pad[: len(slots_np)] = slots_np
+            self._valid = _invalidate_rows(self._valid, jnp.asarray(slots_pad, dtype=jnp.int32))
+            self._free_slots.extend(all_slots)
+            self._count -= len(all_slots)
+            self._ivf_dirty = True
+        if single:
+            return int(counts[0])
+        return counts
+
+    def __delitem__(self, keys):
+        return self.remove(keys)
+
+    def rename(self, from_: int, to: int) -> Union[bool, int]:
+        """Relabel a key in place — a pure host-side keymap move
+        (reference: index_dense.hpp:1567-1592)."""
+        if self._viewed:
+            raise RuntimeError("Can't rename in an immutable viewed index")
+        slots = self._keymap.pop(int(from_))
+        if not slots:
+            return False
+        if not self._multi and self._keymap.contains(int(to)):
+            # restore and refuse: renaming onto an existing key needs multi
+            self._keymap.insert_many(
+                np.full(len(slots), int(from_), dtype=np.uint64), np.asarray(slots)
+            )
+            return False
+        self._keymap.insert_many(np.full(len(slots), int(to), dtype=np.uint64), np.asarray(slots))
+        self._slot_keys[np.asarray(slots)] = np.uint64(to)
+        return True
+
+    def clear(self) -> None:
+        """Erase vectors, keep settings and capacity."""
+        if self._capacity:
+            self._valid = jnp.zeros((self._capacity,), dtype=bool)
+        self._keymap = KeyMap(multi=self._multi)
+        self._free_slots = []
+        self._next_slot = 0
+        self._count = 0
+        self._ivf = None
+        self._ivf_dirty = True
+
+    def reset(self) -> None:
+        """Erase everything including device buffers."""
+        self._table = None
+        self._stats = None
+        self._valid = None
+        self._capacity = 0
+        self._slot_keys = np.zeros(0, dtype=np.uint64)
+        self._keymap = KeyMap(multi=self._multi)
+        self._free_slots = []
+        self._next_slot = 0
+        self._count = 0
+        self._host_f64 = None
+        self._viewed = False
+        self._ivf = None
+        self._ivf_dirty = True
+
+    def __del__(self):  # pragma: no cover
+        pass
+
+    def copy(self) -> "Index":
+        other = Index(
+            ndim=self._ndim,
+            metric=self._metric_kind,
+            dtype=self.dtype if not self._is_set_index else None,
+            connectivity=self._connectivity,
+            expansion_add=self._expansion_add,
+            expansion_search=self._expansion_search,
+            multi=self._multi,
+        )
+        if self._capacity:
+            other.reserve(self._capacity)
+            other._table = self._table
+            other._stats = self._stats
+            other._valid = self._valid
+            other._slot_keys = self._slot_keys.copy()
+            other._keymap = self._keymap.copy()
+            other._free_slots = list(self._free_slots)
+            other._next_slot = self._next_slot
+            other._count = self._count
+            if self._host_f64 is not None:
+                other._host_f64 = self._host_f64.copy()
+        return other
+
+    # ------------------------------------------------------------------
+    # Search
+    # ------------------------------------------------------------------
+
+    def search(
+        self,
+        vectors,
+        count: int = 10,
+        radius: float = math.inf,
+        *,
+        threads: int = 0,
+        exact: bool = False,
+        log: Union[str, bool] = False,
+        progress: Optional[Callable[[int, int], bool]] = None,
+        filter: Optional[Union[np.ndarray, Callable]] = None,
+    ) -> Union[Matches, BatchMatches]:
+        """k-NN search. Exact scan by default; when the table is large and an
+        IVF partition structure is built (see `Index.optimize` / auto-build),
+        a partitioned scan bounded by `expansion_search` replaces it."""
+        vectors = np.asarray(vectors)
+        single = vectors.ndim == 1
+        if self._count == 0 or self._table is None:
+            empty_d = np.zeros((0 if single else max(vectors.shape[0], 1), 0), np.float32)
+            empty_k = np.zeros_like(empty_d, dtype=np.uint64)
+            if single:
+                return Matches(keys=np.zeros(0, np.uint64), distances=np.zeros(0, np.float32))
+            nq = vectors.shape[0]
+            return BatchMatches(
+                keys=np.zeros((nq, 0), np.uint64),
+                distances=np.zeros((nq, 0), np.float32),
+                counts=np.zeros(nq, np.uint64),
+            )
+
+        q_rows = self._prepare_batch(vectors)
+        n_q = q_rows.shape[0]
+        k = min(int(count), self._count)
+
+        valid = self._valid
+        if filter is not None:
+            valid = jnp.logical_and(valid, self._filter_mask(filter))
+
+        use_ivf = (
+            not exact
+            and not self._is_set_index
+            and self._ivf is not None
+            and not self._ivf_dirty
+        )
+        d, slots, scanned = self._search_prepared(q_rows, k, valid, use_ivf)
+
+        d = np.asarray(d)[:n_q]
+        slots = np.asarray(slots)[:n_q]
+        self._computed_distances += int(scanned) * n_q
+        self._visited_members += int(scanned) * n_q
+
+        found = slots >= 0
+        if radius != math.inf and radius is not None:
+            found &= d <= radius
+        keys = np.where(found, self._slot_keys[np.clip(slots, 0, None)], 0).astype(np.uint64)
+        counts = found.sum(axis=1).astype(np.uint64)
+
+        if progress is not None:
+            progress(n_q, n_q)
+        if single:
+            c = int(counts[0])
+            return Matches(
+                keys=keys[0, :c],
+                distances=d[0, :c].astype(np.float32),
+                visited_members=int(scanned),
+                computed_distances=int(scanned),
+            )
+        return BatchMatches(
+            keys=keys,
+            distances=d.astype(np.float32),
+            counts=counts,
+            visited_members=int(scanned) * n_q,
+            computed_distances=int(scanned) * n_q,
+        )
+
+    def _filter_mask(self, filter) -> jnp.ndarray:
+        """Key-level predicate → slot-level mask (the TPU analog of the
+        filtered-search predicate, reference index.hpp:4175-4246)."""
+        if callable(filter):
+            keys = self._slot_keys[: self._capacity]
+            mask_np = np.zeros(self._capacity, dtype=bool)
+            live = self._live_slots()
+            mask_np[live] = np.asarray([bool(filter(int(k))) for k in keys[live]])
+        else:
+            mask_np = np.zeros(self._capacity, dtype=bool)
+            allowed = np.asarray(filter, dtype=np.uint64)
+            live = self._live_slots()
+            mask_np[live] = np.isin(self._slot_keys[live], allowed)
+        return jnp.asarray(mask_np)
+
+    def _search_prepared(self, q_rows: np.ndarray, k: int, valid, use_ivf: bool):
+        n_q = q_rows.shape[0]
+        q_pad = pad_queries(n_q)
+        if q_pad > n_q:
+            pad_value = -1 if self._is_set_index else 0
+            q_rows = np.concatenate(
+                [q_rows, np.full((q_pad - n_q, q_rows.shape[1]), pad_value, dtype=q_rows.dtype)]
+            )
+        q = jnp.asarray(q_rows, dtype=self._jax_dtype)
+        kind = ScalarKind.F32 if self._is_set_index else self._dtype
+        q_stats = stats_kernel(kind, q)
+
+        if use_ivf:
+            d, slots = self._ivf.search(q, q_stats, valid, k, self._expansion_search)
+            scanned = self._ivf.scanned_rows(self._expansion_search)
+            return d, slots, scanned
+
+        row_bytes = self._width * np.dtype(self._np_dtype).itemsize
+        tile_rows = pick_tile_rows(self._capacity, row_bytes, self._metric_kind, self._ndim, q_pad)
+        while self._capacity % tile_rows:
+            tile_rows //= 2
+        metric = self._metric_kind
+        d, slots = search_kernel(
+            metric, kind, q, q_stats, self._table, self._stats, valid, self._ndim, k, tile_rows
+        )
+        return d, slots, self._count
+
+    # ------------------------------------------------------------------
+    # Pairwise distances
+    # ------------------------------------------------------------------
+
+    def pairwise_distance(self, left, right) -> Union[np.ndarray, float]:
+        single = np.isscalar(left) or isinstance(left, (int, np.integer))
+        left_np = np.atleast_1d(np.asarray(left, dtype=np.uint64))
+        right_np = np.atleast_1d(np.asarray(right, dtype=np.uint64))
+        slots_l = np.asarray([self._keymap.slots_of(int(k))[0] for k in left_np], dtype=np.int64)
+        slots_r = np.asarray([self._keymap.slots_of(int(k))[0] for k in right_np], dtype=np.int64)
+        rows_l = _gather_rows(self._table, jnp.asarray(slots_l))
+        rows_r = _gather_rows(self._table, jnp.asarray(slots_r))
+        kind = ScalarKind.F32 if self._is_set_index else self._dtype
+        d = np.asarray(pair_dists(self._metric_kind, kind, rows_l, rows_r, self._ndim))
+        if single:
+            return float(d[0])
+        return d
+
+    def distance_between(self, left, right):
+        return self.pairwise_distance(left, right)
+
+    # ------------------------------------------------------------------
+    # IVF / clustering / persistence hooks (implemented in sibling modules)
+    # ------------------------------------------------------------------
+
+    def optimize(self, n_partitions: Optional[int] = None) -> None:
+        """Build the IVF partitioned-scan structure (the ANN replacement for
+        the HNSW graph). Subsequent non-exact searches probe
+        `expansion_search`-bounded partitions."""
+        from .ivf import IVFPartitions
+
+        if self._count == 0:
+            return
+        self._ivf = IVFPartitions.build(self, n_partitions)
+        self._ivf_dirty = False
+
+    def cluster(
+        self,
+        *,
+        vectors: Optional[np.ndarray] = None,
+        keys: Optional[np.ndarray] = None,
+        min_count: Optional[int] = None,
+        max_count: Optional[int] = None,
+        threads: int = 0,
+        log: Union[str, bool] = False,
+        progress=None,
+    ) -> Clustering:
+        from .cluster import cluster_index
+
+        return cluster_index(
+            self,
+            vectors=vectors,
+            keys=keys,
+            min_count=min_count,
+            max_count=max_count,
+        )
+
+    def join(
+        self,
+        other: "Index",
+        max_proposals: int = 0,
+        exact: bool = False,
+        progress=None,
+    ) -> Dict[int, int]:
+        from .join import join as join_fn
+
+        return join_fn(self, other, max_proposals=max_proposals, exact=exact)
+
+    # Persistence -------------------------------------------------------
+
+    def save(self, path_or_buffer=None, progress=None):
+        from .persist import save_index, save_index_to_buffer
+
+        if path_or_buffer is None:
+            path_or_buffer = self._path
+        if path_or_buffer is None:
+            return save_index_to_buffer(self)
+        if isinstance(path_or_buffer, (bytes, bytearray, memoryview)):
+            raise ValueError("save to an existing buffer isn't supported; pass a path or None")
+        save_index(self, str(path_or_buffer))
+        self._path = str(path_or_buffer)
+
+    def load(self, path_or_buffer=None, progress=None):
+        from .persist import load_index_from_buffer, load_index_into
+
+        if path_or_buffer is None:
+            path_or_buffer = self._path
+        if isinstance(path_or_buffer, (bytes, bytearray, memoryview)):
+            load_index_from_buffer(self, path_or_buffer)
+        else:
+            load_index_into(self, str(path_or_buffer), view=False)
+            self._path = str(path_or_buffer)
+
+    def view(self, path_or_buffer=None, progress=None):
+        from .persist import load_index_from_buffer, load_index_into
+
+        if path_or_buffer is None:
+            path_or_buffer = self._path
+        if isinstance(path_or_buffer, (bytes, bytearray, memoryview)):
+            load_index_from_buffer(self, path_or_buffer)
+        else:
+            load_index_into(self, str(path_or_buffer), view=True)
+            self._path = str(path_or_buffer)
+        self._viewed = True
+
+    @staticmethod
+    def metadata(path_or_buffer) -> Optional[dict]:
+        from .persist import index_metadata
+
+        try:
+            return index_metadata(path_or_buffer)
+        except Exception:
+            return None
+
+    @staticmethod
+    def restore(path_or_buffer, view: bool = False, **kwargs) -> Optional["Index"]:
+        from .persist import index_metadata
+
+        meta = Index.metadata(path_or_buffer)
+        if not meta:
+            return None
+        index = Index(
+            ndim=meta["dimensions"],
+            metric=meta["metric"],
+            dtype=meta["dtype"],
+            multi=meta["multi"],
+            **kwargs,
+        )
+        if view:
+            index.view(path_or_buffer)
+        else:
+            index.load(path_or_buffer)
+        return index
+
+    def _refresh_stats(self) -> None:
+        """Recompute per-row stats after a metric change between stat families."""
+        if self._table is None:
+            return
+        kind = ScalarKind.F32 if self._is_set_index else self._dtype
+        self._stats = stats_kernel(kind, self._table)
+
+
+class IndexedKeys:
+    """Lazy view of index keys (reference: python/usearch/index.py:453-487)."""
+
+    def __init__(self, index: Index) -> None:
+        self.index = index
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def __getitem__(self, offset_offsets):
+        keys = self.index._live_keys()
+        if isinstance(offset_offsets, (slice, np.ndarray)):
+            return keys[offset_offsets]
+        return Key(keys[offset_offsets])
+
+    def __array__(self, dtype=None, copy=None) -> np.ndarray:
+        keys = self.index._live_keys()
+        if dtype is None:
+            dtype = Key
+        return keys.astype(dtype)
+
+    def __iter__(self):
+        return iter(self.index._live_keys())

@@ -1,0 +1,61 @@
+"""Host-side ingestion casts between scalar kinds.
+
+Semantics mirror the reference's casting kernels
+(reference: include/usearch/index_plugins.hpp:1105-1292):
+
+- any float ↔ any float: plain numeric cast;
+- float → i8: normalize to unit L2 then scale to ±127, clamped
+  (cast_to_i8_gt, index_plugins.hpp:1172-1191);
+- i8 → float: divide by 127 (cast_from_i8_gt, index_plugins.hpp:1160-1170);
+- any → b1: bit = value > 0, MSB-first packed (cast_to_b1x8_gt, :1139-1158);
+- b1 → any: set bit → 1, clear bit → 0 (cast_from_b1x8_gt, :1192-1204).
+
+These run on host numpy — ingestion is IO-bound, and keeping casts on host
+avoids a device round-trip before the single HBM upload.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..enums import ScalarKind, to_numpy_dtype
+from .packbits import pack_bits_np, unpack_bits_np
+
+
+def cast_to_i8_np(values: np.ndarray) -> np.ndarray:
+    """Normalize each row to unit L2, scale to ±127, clamp, truncate."""
+    values = np.asarray(values, dtype=np.float64)
+    magnitude = np.sqrt(np.sum(values * values, axis=-1, keepdims=True))
+    magnitude = np.where(magnitude == 0.0, 1.0, magnitude)
+    scaled = np.clip(values * (127.0 / magnitude), -127.0, 127.0)
+    # C-style truncation toward zero, matching static_cast<int8_t>.
+    return np.trunc(scaled).astype(np.int8)
+
+
+def cast_from_i8_np(values: np.ndarray, out_dtype=np.float32) -> np.ndarray:
+    return (values.astype(np.float32) / 127.0).astype(out_dtype)
+
+
+def cast_vectors(
+    values: np.ndarray,
+    from_kind: ScalarKind,
+    to_kind: ScalarKind,
+    ndim: int,
+) -> np.ndarray:
+    """Cast a [*, ndim] batch between scalar kinds (b1 rows are packed bytes)."""
+    if from_kind == to_kind:
+        return np.ascontiguousarray(values, dtype=to_numpy_dtype(to_kind))
+
+    # Decode source to f32 (or keep packed semantics).
+    if from_kind == ScalarKind.B1:
+        decoded = unpack_bits_np(values.astype(np.uint8), ndim).astype(np.float32)
+    elif from_kind == ScalarKind.I8:
+        decoded = cast_from_i8_np(values)
+    else:
+        decoded = values.astype(np.float32)
+
+    if to_kind == ScalarKind.B1:
+        return pack_bits_np(decoded)
+    if to_kind == ScalarKind.I8:
+        return cast_to_i8_np(decoded)
+    return decoded.astype(to_numpy_dtype(to_kind))

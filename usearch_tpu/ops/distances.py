@@ -1,0 +1,279 @@
+"""Batched distance kernels — the TPU-native replacement for the reference's
+SimSIMD dispatch + autovectorized scalar loops
+(reference: include/usearch/index_plugins.hpp:1309-1657, 1678-2015).
+
+Design: every dot-derived metric (ip/cos/l2sq/pearson, and the binary
+hamming/tanimoto/sorensen via the popcount(a&b) == <bits_a, bits_b> identity)
+is computed as ONE MXU matmul ``queries @ tile.T`` plus a cheap f32 epilogue
+using precomputed per-row stats (squared norm & sum, or popcount). The stats
+are maintained incrementally by the index at ingestion time, so a search over
+N rows reads each stored byte exactly once — HBM-bandwidth optimal.
+
+Non-dot metrics (haversine, Jensen-Shannon divergence, sparse Jaccard) use
+broadcast VPU formulas over smaller tiles.
+
+Distance semantics match the reference exactly (same formulas, same
+zero-denominator guards), validated in tests/test_distances.py against scipy.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..enums import MetricKind, ScalarKind
+from .packbits import unpack_bits
+
+#: Large-but-finite f32 sentinel for masked-out rows; comparisons and top-k
+#: stay NaN-free.
+MASKED = np.float32(3.0e38)
+
+_F32_EPS = np.float32(np.finfo(np.float32).eps)
+
+
+def _dot(q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """[Q, D] x [T, D] -> [Q, T] contraction on the MXU.
+
+    int8 operands accumulate in int32 (the widening the reference does in
+    metric_cos_i8_t, index_plugins.hpp:1583-1607); floats accumulate in f32.
+    """
+    acc = jnp.int32 if q.dtype == jnp.int8 else jnp.float32
+    # f32 operands must use HIGHEST precision: the TPU MXU's default f32
+    # matmul truncates to bf16 passes, costing ~1e-2 relative error. bf16/f16
+    # storage keeps the fast native path.
+    precision = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    return jax.lax.dot_general(
+        q,
+        t,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc,
+        precision=precision,
+    )
+
+
+def row_stats(rows: jnp.ndarray, kind: ScalarKind) -> jnp.ndarray:
+    """Per-row auxiliary stats, f32 [N, 2].
+
+    floats/i8 → (squared L2 norm, sum); b1 → (popcount, 0).
+    Padding dims are zero so stats are padding-invariant.
+    """
+    if kind == ScalarKind.B1:
+        bits = unpack_bits(rows).astype(jnp.int32)
+        pop = jnp.sum(bits, axis=-1).astype(jnp.float32)
+        return jnp.stack([pop, jnp.zeros_like(pop)], axis=-1)
+    if kind == ScalarKind.I8:
+        x = rows.astype(jnp.int32)
+        sq = jnp.sum(x * x, axis=-1).astype(jnp.float32)
+        sm = jnp.sum(x, axis=-1).astype(jnp.float32)
+        return jnp.stack([sq, sm], axis=-1)
+    x = rows.astype(jnp.float32)
+    sq = jnp.sum(x * x, axis=-1)
+    sm = jnp.sum(x, axis=-1)
+    return jnp.stack([sq, sm], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Epilogues: dots [Q, T] + stats -> distances [Q, T] (all f32)
+# ---------------------------------------------------------------------------
+
+
+def _cos_epilogue(dots, q_sq, t_sq):
+    # Zero-norm guard table of metric_cos_gt (index_plugins.hpp:1353-1357):
+    # both zero → 0, one zero → 1, else 1 - dot/(|q||t|).
+    denom = jnp.sqrt(q_sq[:, None]) * jnp.sqrt(t_sq[None, :])
+    safe = jnp.where(denom == 0.0, 1.0, denom)
+    base = 1.0 - dots / safe
+    one_zero = (q_sq[:, None] == 0.0) ^ (t_sq[None, :] == 0.0)
+    both_zero = (q_sq[:, None] == 0.0) & (t_sq[None, :] == 0.0)
+    return jnp.where(both_zero, 0.0, jnp.where(one_zero, 1.0, base))
+
+
+def _l2sq_epilogue(dots, q_sq, t_sq):
+    return jnp.maximum(q_sq[:, None] + t_sq[None, :] - 2.0 * dots, 0.0)
+
+
+def _pearson_epilogue(dots, q_sq, q_sum, t_sq, t_sum, ndim):
+    # One-pass sample correlation (metric_pearson_gt, index_plugins.hpp:1511-1550).
+    n = jnp.float32(ndim)
+    num = n * dots - q_sum[:, None] * t_sum[None, :]
+    den = (n * q_sq - q_sum * q_sum)[:, None] * (n * t_sq - t_sum * t_sum)[None, :]
+    safe = jnp.where(den <= 0.0, 1.0, den)
+    return jnp.where(den <= 0.0, 0.0, 1.0 - num / jnp.sqrt(safe))
+
+
+def dot_metric_dists(
+    metric: MetricKind,
+    dots: jnp.ndarray,
+    q_stats: jnp.ndarray,
+    t_stats: jnp.ndarray,
+    ndim: int,
+) -> jnp.ndarray:
+    """Map raw dots [Q, T] to distances for any dot-derived metric."""
+    dots = dots.astype(jnp.float32)
+    q_sq, q_sum = q_stats[:, 0], q_stats[:, 1]
+    t_sq, t_sum = t_stats[:, 0], t_stats[:, 1]
+    if metric == MetricKind.IP:
+        return 1.0 - dots
+    if metric == MetricKind.Cos:
+        return _cos_epilogue(dots, q_sq, t_sq)
+    if metric == MetricKind.L2sq:
+        return _l2sq_epilogue(dots, q_sq, t_sq)
+    if metric == MetricKind.Pearson:
+        return _pearson_epilogue(dots, q_sq, q_sum, t_sq, t_sum, ndim)
+    # Binary metrics: stats[:, 0] is the popcount, dots the and-count
+    # (hamming/tanimoto/sorensen, index_plugins.hpp:1392-1478).
+    pop_q, pop_t = q_sq[:, None], t_sq[None, :]
+    if metric == MetricKind.Hamming:
+        return pop_q + pop_t - 2.0 * dots
+    if metric == MetricKind.Tanimoto:
+        union = pop_q + pop_t - dots
+        return jnp.where(union == 0.0, 0.0, 1.0 - dots / jnp.where(union == 0.0, 1.0, union))
+    if metric == MetricKind.Sorensen:
+        denom = pop_q + pop_t
+        return jnp.where(denom == 0.0, 0.0, 1.0 - 2.0 * dots / jnp.where(denom == 0.0, 1.0, denom))
+    raise ValueError(f"Not a dot-derived metric: {metric}")
+
+
+# ---------------------------------------------------------------------------
+# Full tile scoring
+# ---------------------------------------------------------------------------
+
+
+def haversine_dists(q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Great-circle distance over (lat, lon) degree pairs
+    (metric_haversine_gt, index_plugins.hpp:1636-1657). [Q,2]x[T,2] -> [Q,T]."""
+    q = q.astype(jnp.float32)
+    t = t.astype(jnp.float32)
+    deg2rad = jnp.float32(np.pi / 180.0)
+    lat_q, lon_q = q[:, 0][:, None], q[:, 1][:, None]
+    lat_t, lon_t = t[:, 0][None, :], t[:, 1][None, :]
+    dlat = (lat_t - lat_q) * deg2rad / 2.0
+    dlon = (lon_t - lon_q) * deg2rad / 2.0
+    x = jnp.sin(dlat) ** 2 + jnp.cos(lat_q * deg2rad) * jnp.cos(lat_t * deg2rad) * jnp.sin(dlon) ** 2
+    return 2.0 * jnp.arcsin(jnp.sqrt(jnp.clip(x, 0.0, 1.0)))
+
+
+def divergence_dists(q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Jensen-Shannon divergence (metric_divergence_gt,
+    index_plugins.hpp:1555-1578). Broadcast VPU formula, [Q,T,D] intermediate —
+    callers use small tiles."""
+    p = q.astype(jnp.float32)[:, None, :]
+    r = t.astype(jnp.float32)[None, :, :]
+    m = (p + r) / 2.0 + _F32_EPS
+    kld_pm = jnp.sum(p * jnp.log((p + _F32_EPS) / m), axis=-1)
+    kld_qm = jnp.sum(r * jnp.log((r + _F32_EPS) / m), axis=-1)
+    return (kld_pm + kld_qm) / 2.0
+
+
+def jaccard_set_dists(q: jnp.ndarray, t: jnp.ndarray, sentinel: int = -1) -> jnp.ndarray:
+    """Sparse Jaccard over padded sorted integer sets
+    (metric_jaccard_gt, index_plugins.hpp:1486-1508). Entries == sentinel are
+    padding. Set elements must be unique per row. [Q,Dq]x[T,Dt] -> [Q,T]."""
+    q = q.astype(jnp.int32)
+    t = t.astype(jnp.int32)
+    q_valid = q != sentinel
+    t_valid = t != sentinel
+    len_q = jnp.sum(q_valid, axis=-1).astype(jnp.float32)
+    len_t = jnp.sum(t_valid, axis=-1).astype(jnp.float32)
+    # membership: q[i, a] present in t[j, :]
+    eq = q[:, None, :, None] == t[None, :, None, :]
+    eq &= q_valid[:, None, :, None] & t_valid[None, :, None, :]
+    inter = jnp.sum(jnp.any(eq, axis=-1), axis=-1).astype(jnp.float32)
+    union = len_q[:, None] + len_t[None, :] - inter
+    return jnp.where(union == 0.0, 0.0, 1.0 - inter / jnp.where(union == 0.0, 1.0, union))
+
+
+def tile_dists(
+    metric: MetricKind,
+    kind: ScalarKind,
+    q: jnp.ndarray,
+    q_stats: Optional[jnp.ndarray],
+    tile: jnp.ndarray,
+    tile_stats: Optional[jnp.ndarray],
+    ndim: int,
+) -> jnp.ndarray:
+    """Distances of queries against one table tile: [Q, T] f32.
+
+    ``q``/``tile`` are in storage layout: packed uint8 bytes for b1 (unpacked
+    to int8 bits on the fly, then MXU int8 matmul), int8 for i8, floats
+    otherwise. ``*_stats`` are ``row_stats`` outputs.
+    """
+    if metric == MetricKind.Haversine:
+        return haversine_dists(q, tile)
+    if metric == MetricKind.Divergence:
+        return divergence_dists(q, tile)
+    if metric == MetricKind.Jaccard:
+        return jaccard_set_dists(q, tile)
+    if kind == ScalarKind.B1:
+        dots = _dot(unpack_bits(q), unpack_bits(tile)).astype(jnp.float32)
+    else:
+        dots = _dot(q, tile)
+    return dot_metric_dists(metric, dots, q_stats, tile_stats, ndim)
+
+
+def pair_dists(
+    metric: MetricKind,
+    kind: ScalarKind,
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    ndim: int,
+) -> jnp.ndarray:
+    """Row-wise paired distances: a[i] vs b[i] → [N] f32 (distance_between)."""
+    if metric == MetricKind.Haversine:
+        return jnp.diagonal(haversine_dists(a, b))  # tiny batches only
+    if metric == MetricKind.Divergence:
+        p = a.astype(jnp.float32)
+        r = b.astype(jnp.float32)
+        m = (p + r) / 2.0 + _F32_EPS
+        kld_pm = jnp.sum(p * jnp.log((p + _F32_EPS) / m), axis=-1)
+        kld_qm = jnp.sum(r * jnp.log((r + _F32_EPS) / m), axis=-1)
+        return (kld_pm + kld_qm) / 2.0
+    if kind == ScalarKind.B1:
+        a_bits = unpack_bits(a).astype(jnp.int32)
+        b_bits = unpack_bits(b).astype(jnp.int32)
+        dots = jnp.sum(a_bits * b_bits, axis=-1).astype(jnp.float32)
+        a_st = jnp.stack([jnp.sum(a_bits, -1).astype(jnp.float32)] * 2, -1)
+        b_st = jnp.stack([jnp.sum(b_bits, -1).astype(jnp.float32)] * 2, -1)
+    else:
+        a32 = a.astype(jnp.int32 if kind == ScalarKind.I8 else jnp.float32)
+        b32 = b.astype(jnp.int32 if kind == ScalarKind.I8 else jnp.float32)
+        dots = jnp.sum(a32 * b32, axis=-1).astype(jnp.float32)
+        a_st = row_stats(a, kind)
+        b_st = row_stats(b, kind)
+    # Reuse the [Q, T] epilogue on the diagonal of a per-row "1 x 1" view:
+    # cheaper to inline the row-wise formulas directly.
+    q_sq, q_sum = a_st[:, 0], a_st[:, 1]
+    t_sq, t_sum = b_st[:, 0], b_st[:, 1]
+    if metric == MetricKind.IP:
+        return 1.0 - dots
+    if metric == MetricKind.Cos:
+        denom = jnp.sqrt(q_sq) * jnp.sqrt(t_sq)
+        safe = jnp.where(denom == 0.0, 1.0, denom)
+        base = 1.0 - dots / safe
+        one_zero = (q_sq == 0.0) ^ (t_sq == 0.0)
+        both_zero = (q_sq == 0.0) & (t_sq == 0.0)
+        return jnp.where(both_zero, 0.0, jnp.where(one_zero, 1.0, base))
+    if metric == MetricKind.L2sq:
+        return jnp.maximum(q_sq + t_sq - 2.0 * dots, 0.0)
+    if metric == MetricKind.Pearson:
+        n = jnp.float32(ndim)
+        num = n * dots - q_sum * t_sum
+        den = (n * q_sq - q_sum * q_sum) * (n * t_sq - t_sum * t_sum)
+        safe = jnp.where(den <= 0.0, 1.0, den)
+        return jnp.where(den <= 0.0, 0.0, 1.0 - num / jnp.sqrt(safe))
+    if metric == MetricKind.Hamming:
+        return q_sq + t_sq - 2.0 * dots
+    if metric == MetricKind.Tanimoto:
+        union = q_sq + t_sq - dots
+        return jnp.where(union == 0.0, 0.0, 1.0 - dots / jnp.where(union == 0.0, 1.0, union))
+    if metric == MetricKind.Sorensen:
+        denom = q_sq + t_sq
+        return jnp.where(denom == 0.0, 0.0, 1.0 - 2.0 * dots / jnp.where(denom == 0.0, 1.0, denom))
+    if metric == MetricKind.Jaccard:
+        full = jaccard_set_dists(a, b)
+        return jnp.diagonal(full)
+    raise ValueError(f"Unsupported metric: {metric}")

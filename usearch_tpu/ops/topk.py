@@ -1,0 +1,102 @@
+"""Streaming masked top-k over a sharded/tiled vector table.
+
+The TPU-native replacement for the reference's per-thread sorted buffer +
+`merge_into` (reference: include/usearch/index.hpp:845-956, 2650-2670) and the
+three-phase exact_search_t (index_plugins.hpp:2071-2164): distances are
+computed tile-by-tile (one MXU matmul per tile), each tile's scores are merged
+into a running [Q, k] candidate buffer via concat + `lax.top_k`. The [Q, N]
+score matrix is never materialized for large N, keeping HBM traffic at
+"read every stored byte once".
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..enums import MetricKind, ScalarKind
+from .distances import MASKED, tile_dists
+
+
+def masked_topk(
+    dists: jnp.ndarray,
+    valid: Optional[jnp.ndarray],
+    k: int,
+    index_offset: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ascending top-k of a full [Q, N] distance matrix with a validity mask.
+
+    Returns (dists [Q, k] f32, indices [Q, k] i32); masked rows surface as
+    ``MASKED`` distances with index -1.
+    """
+    if valid is not None:
+        dists = jnp.where(valid[None, :], dists, MASKED)
+    neg, idx = jax.lax.top_k(-dists, k)
+    d = -neg
+    idx = jnp.where(d >= MASKED / 2, -1, idx + index_offset)
+    return d, idx.astype(jnp.int32)
+
+
+def merge_topk(
+    d_a: jnp.ndarray,
+    i_a: jnp.ndarray,
+    d_b: jnp.ndarray,
+    i_b: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge two [Q, k'] candidate sets into the best [Q, k] (ascending)."""
+    d = jnp.concatenate([d_a, d_b], axis=1)
+    i = jnp.concatenate([i_a, i_b], axis=1)
+    neg, sel = jax.lax.top_k(-d, k)
+    return -neg, jnp.take_along_axis(i, sel, axis=1)
+
+
+def scan_topk(
+    metric: MetricKind,
+    kind: ScalarKind,
+    q: jnp.ndarray,
+    q_stats: jnp.ndarray,
+    table: jnp.ndarray,
+    stats: jnp.ndarray,
+    valid: jnp.ndarray,
+    k: int,
+    tile_rows: int,
+    ndim: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tiled streaming search: [Q, D] against [N, D] → best-k per query.
+
+    ``N`` must be a multiple of ``tile_rows`` (the table is capacity-padded).
+    Sequential `lax.scan` over row tiles lets XLA pipeline the HBM reads of
+    tile t+1 against the matmul of tile t. ``stats``/``valid`` are required
+    (non-dot metrics may pass zeros for ``stats``).
+    """
+    n_rows = table.shape[0]
+    assert n_rows % tile_rows == 0, (n_rows, tile_rows)
+    n_tiles = n_rows // tile_rows
+    n_q = q.shape[0]
+
+    tiles = table.reshape(n_tiles, tile_rows, *table.shape[1:])
+    stats_tiles = stats.reshape(n_tiles, tile_rows, 2)
+    valid_tiles = valid.reshape(n_tiles, tile_rows)
+    offsets = (jnp.arange(n_tiles, dtype=jnp.int32) * tile_rows)[:, None]
+
+    init_d = jnp.full((n_q, k), MASKED, dtype=jnp.float32)
+    init_i = jnp.full((n_q, k), -1, dtype=jnp.int32)
+
+    def body(carry, xs):
+        best_d, best_i = carry
+        tile, tile_stats, tile_valid, offset = xs
+        d = tile_dists(metric, kind, q, q_stats, tile, tile_stats, ndim)
+        d = jnp.where(tile_valid[None, :], d, MASKED)
+        ids = jnp.broadcast_to(
+            offset + jnp.arange(tile_rows, dtype=jnp.int32)[None, :], d.shape
+        )
+        best_d, best_i = merge_topk(best_d, best_i, d, ids, k)
+        return (best_d, best_i), None
+
+    xs = (tiles, stats_tiles, valid_tiles, offsets)
+    (best_d, best_i), _ = jax.lax.scan(body, (init_d, init_i), xs)
+    best_i = jnp.where(best_d >= MASKED / 2, -1, best_i)
+    return best_d, best_i
