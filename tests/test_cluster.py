@@ -1,0 +1,108 @@
+"""K-means and Index.cluster tests (reference: test_tooling.py:157 kmeans,
+test_index.py:403 clustering)."""
+
+import numpy as np
+import pytest
+
+from usearch_tpu import Index, kmeans
+from usearch_tpu.kmeans import kmeans_fit
+from usearch_tpu.enums import MetricKind
+
+
+def _blobs(rng, n_per, centers, ndim, spread=0.05):
+    data = []
+    for c in range(centers):
+        center = rng.standard_normal(ndim) * 3
+        data.append(center + rng.standard_normal((n_per, ndim)) * spread)
+    return np.concatenate(data).astype(np.float32)
+
+
+def test_kmeans_recovers_blobs(rng):
+    X = _blobs(rng, 50, 4, 8)
+    assignments, distances, centroids = kmeans(X, 4)
+    assert centroids.shape[0] == 4
+    assert assignments.shape == (200,)
+    assert distances.shape == (200,)
+    # points in the same blob share a cluster
+    for b in range(4):
+        blob = assignments[b * 50 : (b + 1) * 50]
+        assert len(np.unique(blob)) == 1
+    # distinct blobs get distinct clusters
+    assert len(np.unique(assignments[::50])) == 4
+    # distances consistent with centroids (bf16 scoring → loose tolerance,
+    # matching the reference's default bf16 quantization_kind)
+    d0 = np.sum((X[0] - centroids[assignments[0]][: X.shape[1]]) ** 2)
+    scale = max(1.0, float(np.sum(X[0] ** 2)))
+    assert abs(d0 - distances[0]) / scale < 0.02
+
+
+def test_kmeans_cos_metric(rng):
+    X = _blobs(rng, 30, 3, 16)
+    assignments, distances, centroids = kmeans(X, 3, metric="cos")
+    assert len(np.unique(assignments)) == 3
+    # cosine centroids are unit-normalized
+    norms = np.linalg.norm(centroids, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-2)
+
+
+def test_kmeans_k_exceeds_n(rng):
+    X = rng.standard_normal((5, 4)).astype(np.float32)
+    assignments, _, centroids = kmeans(X, 10)
+    assert centroids.shape[0] == 5
+
+
+def test_index_cluster(rng):
+    index = Index(ndim=8, metric="l2sq", dtype="f32")
+    X = _blobs(rng, 40, 3, 8)
+    keys = np.arange(len(X), dtype=np.uint64)
+    index.add(keys, X)
+
+    clustering = index.cluster(min_count=3, max_count=3)
+    centroid_keys, sizes = clustering.centroids_popularity
+    assert len(centroid_keys) == 3
+    assert sizes.sum() == len(X)
+    # members_of returns keys of one blob
+    members = clustering.members_of(centroid_keys[0])
+    assert len(members) > 0
+    # subclustering works
+    sub = clustering.subcluster(centroid_keys[0], min_count=2, max_count=2)
+    assert len(sub.queries) == len(members)
+
+
+def test_index_cluster_with_queries(rng):
+    index = Index(ndim=8, metric="l2sq", dtype="f32")
+    X = _blobs(rng, 40, 3, 8)
+    index.add(np.arange(len(X), dtype=np.uint64), X)
+    c = index.cluster(vectors=X[:10], min_count=3, max_count=3)
+    assert c.matches.keys.shape == (10, 1)
+
+
+def test_ivf_partitioned_search(rng):
+    """IVF probe search must find true neighbors at high recall on
+    clustered data (the ANN path replacing the HNSW graph)."""
+    index = Index(ndim=16, metric="l2sq", dtype="f32")
+    X = _blobs(rng, 200, 8, 16, spread=0.3)
+    index.add(np.arange(len(X), dtype=np.uint64), X)
+    index.optimize(n_partitions=16)
+
+    q = X[::100]
+    exact_m = index.search(q, 5, exact=True)
+    ivf_m = index.search(q, 5)  # non-exact → IVF path
+    # recall@1 of IVF vs exact should be perfect on well-separated blobs
+    assert np.mean(ivf_m.keys[:, 0] == exact_m.keys[:, 0]) == 1.0
+    # recall@5 high
+    hits = sum(
+        len(set(ivf_m.keys[i].tolist()) & set(exact_m.keys[i].tolist())) for i in range(len(q))
+    )
+    assert hits / (len(q) * 5) > 0.9
+
+
+def test_ivf_respects_deletions(rng):
+    index = Index(ndim=8, metric="l2sq", dtype="f32")
+    X = rng.standard_normal((500, 8)).astype(np.float32)
+    index.add(np.arange(500, dtype=np.uint64), X)
+    index.optimize(n_partitions=8)
+    index.remove(7)
+    index.optimize(n_partitions=8)  # rebuild after delete
+    m = index.search(X[7], 3)
+    assert 7 not in m.keys

@@ -1,0 +1,293 @@
+"""Index behavioral-contract tests, modeled on the reference's
+python/scripts/test_index.py: retrieval round-trips with quantization
+tolerance, self-recall, duplicates/multi, persistence, remove/rename,
+filtered search."""
+
+import os
+
+import numpy as np
+import pytest
+
+from usearch_tpu import Index, MetricKind, ScalarKind
+from usearch_tpu.eval import random_vectors, self_recall
+
+
+def reset_randomness():
+    np.random.seed(int.from_bytes(os.urandom(1), byteorder="big"))
+
+
+def test_minimal_three_vectors():
+    """Reference cpp/test.cpp:206 test_minimal_three_vectors invariants."""
+    index = Index(ndim=4, metric="cos", dtype="f32")
+    v1 = np.array([0.1, 0.2, 0.3, 0.4], np.float32)
+    v2 = np.array([0.4, 0.3, 0.2, 0.1], np.float32)
+    v3 = np.array([0.1, 0.1, 0.1, 0.1], np.float32)
+    index.add(42, v1)
+    index.add(43, v2)
+    index.add(44, v3)
+    assert len(index) == 3
+    assert 42 in index
+    assert index.contains(43)
+    assert not index.contains(999)
+
+    matches = index.search(v1, 3)
+    assert matches.keys[0] == 42
+    assert matches.distances[0] < 1e-5
+    assert len(matches) == 3
+
+    got = index.get(42)
+    np.testing.assert_allclose(got, v1, atol=1e-6)
+    assert index.get(999) is None
+
+
+@pytest.mark.parametrize("ndim", [3, 97, 256])
+@pytest.mark.parametrize("metric", [MetricKind.Cos, MetricKind.L2sq])
+@pytest.mark.parametrize("quantization", [ScalarKind.F32, ScalarKind.F16, ScalarKind.I8])
+@pytest.mark.parametrize("batch_size", [1, 7, 1024])
+def test_index_retrieval(ndim, metric, quantization, batch_size):
+    """Quantized storage must recover vectors within tolerance
+    (reference test_index.py:80-100)."""
+    reset_randomness()
+    index = Index(ndim=ndim, metric=metric, dtype=quantization, multi=False)
+    keys = np.arange(batch_size)
+    vectors = random_vectors(count=batch_size, ndim=ndim, dtype=ScalarKind.F32, metric=MetricKind.IP)
+    index.add(keys, vectors)
+    vectors_retrieved = np.vstack(index.get(keys))
+    assert np.allclose(vectors_retrieved, vectors, atol=0.1)
+
+    keys_retrieved = np.array(index.keys)
+    assert np.all(np.sort(keys_retrieved) == keys)
+
+
+@pytest.mark.parametrize("batch_size", [1, 7, 1024])
+def test_self_recall(batch_size):
+    reset_randomness()
+    index = Index(ndim=32, metric="cos", dtype="f32")
+    keys = np.arange(batch_size)
+    vectors = random_vectors(count=batch_size, ndim=32, metric=MetricKind.IP)
+    index.add(keys, vectors)
+    stats = self_recall(index, count=1, exact=True)
+    assert stats.mean_recall == 1.0
+
+
+def test_duplicate_keys_rejected():
+    index = Index(ndim=8, multi=False)
+    index.add(1, np.ones(8, np.float32))
+    with pytest.raises(KeyError):
+        index.add(1, np.ones(8, np.float32))
+    # duplicates within one batch
+    index2 = Index(ndim=8, multi=False)
+    with pytest.raises(KeyError):
+        index2.add(np.array([5, 5]), np.random.rand(2, 8).astype(np.float32))
+
+
+def test_multi_key():
+    index = Index(ndim=8, multi=True)
+    v = np.random.rand(3, 8).astype(np.float32)
+    index.add(np.array([7, 7, 8]), v)
+    assert len(index) == 3
+    assert index.count(7) == 2
+    assert index.count(8) == 1
+    got = index.get(7)
+    assert got.shape == (2, 8)
+    matches = index.search(v[0], 3)
+    assert 7 in matches.keys
+
+
+def test_remove_and_reinsert():
+    """Remove frees the slot; next add reuses it
+    (reference cpp/test.cpp:384 test_punned_add_remove_vector)."""
+    index = Index(ndim=8, dtype="f32")
+    keys = np.arange(10)
+    vecs = np.random.rand(10, 8).astype(np.float32)
+    index.add(keys, vecs)
+    assert len(index) == 10
+
+    removed = index.remove(3)
+    assert removed == 1
+    assert len(index) == 9
+    assert not index.contains(3)
+
+    # removed key must not appear in searches
+    m = index.search(vecs[3], 10)
+    assert 3 not in m.keys[: int(len(m))]
+
+    # reinsertion reuses the freed slot
+    cap_before = index.capacity
+    index.add(100, vecs[3])
+    assert index.capacity == cap_before
+    assert len(index) == 10
+    m = index.search(vecs[3], 1)
+    assert m.keys[0] == 100
+
+    counts = index.remove(np.array([100, 5]))
+    np.testing.assert_array_equal(counts, [1, 1])
+
+
+def test_rename():
+    index = Index(ndim=8)
+    index.add(1, np.ones(8, np.float32))
+    assert index.rename(1, 2)
+    assert not index.contains(1)
+    assert index.contains(2)
+    m = index.search(np.ones(8, np.float32), 1)
+    assert m.keys[0] == 2
+    # renaming onto an existing key fails without multi
+    index.add(3, np.zeros(8, np.float32))
+    assert not index.rename(2, 3)
+    assert index.contains(2)
+
+
+def test_save_load_view(tmp_path):
+    """Persistence round-trip (reference test_index.py:227-310)."""
+    reset_randomness()
+    for quantization in [ScalarKind.F32, ScalarKind.F16, ScalarKind.I8, ScalarKind.F64]:
+        index = Index(ndim=16, metric="cos", dtype=quantization)
+        keys = np.arange(100, dtype=np.uint64) + 50
+        vectors = random_vectors(count=100, ndim=16, metric=MetricKind.IP)
+        index.add(keys, vectors)
+        baseline = index.search(vectors[:5], 3)
+
+        path = str(tmp_path / f"index_{quantization.value}.usearch")
+        index.save(path)
+
+        meta = Index.metadata(path)
+        assert meta is not None
+        assert meta["dimensions"] == 16
+        assert meta["count_present"] == 100
+
+        loaded = Index.restore(path)
+        assert len(loaded) == 100
+        assert loaded.ndim == 16
+        assert loaded.dtype == quantization
+        m = loaded.search(vectors[:5], 3)
+        np.testing.assert_array_equal(m.keys, baseline.keys)
+        np.testing.assert_allclose(m.distances, baseline.distances, atol=1e-5)
+
+        viewed = Index.restore(path, view=True)
+        assert len(viewed) == 100
+        m = viewed.search(vectors[:5], 3)
+        np.testing.assert_array_equal(m.keys, baseline.keys)
+        with pytest.raises(RuntimeError):
+            viewed.add(999, vectors[0])
+
+
+def test_save_load_buffer():
+    index = Index(ndim=8, dtype="f32")
+    keys = np.arange(20, dtype=np.uint64)
+    vecs = np.random.rand(20, 8).astype(np.float32)
+    index.add(keys, vecs)
+    buf = index.save()
+    assert isinstance(buf, bytes)
+
+    other = Index(ndim=8)
+    other.load(buf)
+    assert len(other) == 20
+    m = other.search(vecs[:3], 1)
+    np.testing.assert_array_equal(m.keys[:, 0], [0, 1, 2])
+
+    meta = Index.metadata(buf)
+    assert meta["count_present"] == 20
+
+
+def test_clear_and_reset():
+    index = Index(ndim=8)
+    index.add(np.arange(5), np.random.rand(5, 8).astype(np.float32))
+    index.clear()
+    assert len(index) == 0
+    index.add(np.arange(5), np.random.rand(5, 8).astype(np.float32))
+    assert len(index) == 5
+    index.reset()
+    assert len(index) == 0
+    assert index.capacity == 0
+
+
+def test_copy():
+    index = Index(ndim=8)
+    vecs = np.random.rand(5, 8).astype(np.float32)
+    index.add(np.arange(5), vecs)
+    clone = index.copy()
+    index.remove(0)
+    assert len(clone) == 5
+    assert clone.contains(0)
+    m = clone.search(vecs[0], 1)
+    assert m.keys[0] == 0
+
+
+def test_filtered_search():
+    """Key-predicate filtering (reference cpp/test.cpp:1105 test_filtered_search)."""
+    index = Index(ndim=8, dtype="f32")
+    vecs = np.random.rand(30, 8).astype(np.float32)
+    index.add(np.arange(30), vecs)
+    # only even keys allowed — via callable
+    m = index.search(vecs[0], 5, filter=lambda key: key % 2 == 0)
+    assert all(k % 2 == 0 for k in m.keys)
+    assert m.keys[0] == 0
+    # via explicit key list
+    m = index.search(vecs[1], 5, filter=np.array([1, 3, 5]))
+    assert set(m.keys).issubset({1, 3, 5})
+    assert m.keys[0] == 1
+
+
+def test_binary_index():
+    """Bit-packed tanimoto/hamming indexes (reference test_sparse.py)."""
+    reset_randomness()
+    for metric in [MetricKind.Hamming, MetricKind.Tanimoto, MetricKind.Sorensen]:
+        index = Index(ndim=256, metric=metric)
+        assert index.dtype == ScalarKind.B1
+        fps = random_vectors(count=50, ndim=256, metric=metric)
+        index.add(np.arange(50), fps)
+        m = index.search(fps[:5], 1)
+        np.testing.assert_array_equal(m.keys[:, 0], np.arange(5))
+        np.testing.assert_allclose(m.distances[:, 0], 0.0, atol=1e-6)
+        got = index.get(0, ScalarKind.B1)
+        np.testing.assert_array_equal(got, fps[0])
+
+
+def test_f64_index():
+    index = Index(ndim=8, dtype="f64")
+    vecs = np.random.rand(10, 8)
+    index.add(np.arange(10), vecs)
+    got = index.get(np.arange(10), "f64")
+    np.testing.assert_allclose(got, vecs, atol=1e-15)  # exact f64 round-trip
+    m = index.search(vecs[2], 1)
+    assert m.keys[0] == 2
+
+
+def test_pairwise_distance():
+    index = Index(ndim=8, metric="l2sq", dtype="f32")
+    vecs = np.random.rand(4, 8).astype(np.float32)
+    index.add(np.arange(4), vecs)
+    d = index.pairwise_distance(0, 1)
+    want = float(np.sum((vecs[0] - vecs[1]) ** 2))
+    assert abs(d - want) < 1e-4
+    d_many = index.pairwise_distance(np.array([0, 1]), np.array([2, 3]))
+    assert d_many.shape == (2,)
+
+
+def test_index_properties():
+    index = Index(ndim=16, metric="cos", dtype="f32", expansion_add=99, expansion_search=77)
+    assert index.ndim == 16
+    assert index.expansion_add == 99
+    assert index.expansion_search == 77
+    index.expansion_search = 55
+    assert index.expansion_search == 55
+    assert index.specs["Dimensions"] == 16
+    assert index.stats.nodes == 0
+    assert "usearch_tpu.Index" in repr(index)
+
+
+def test_search_radius():
+    index = Index(ndim=4, metric="l2sq", dtype="f32")
+    index.add(np.arange(3), np.eye(3, 4, dtype=np.float32) * np.array([[1], [2], [3]]))
+    q = np.zeros(4, np.float32)
+    m = index.search(q, 3, radius=2.0)
+    assert len(m) == 1  # only the unit vector is within r^2<=2
+
+
+def test_auto_keys():
+    index = Index(ndim=4)
+    keys = index.add(None, np.random.rand(3, 4).astype(np.float32))
+    np.testing.assert_array_equal(keys, [0, 1, 2])
+    keys = index.add(None, np.random.rand(2, 4).astype(np.float32))
+    np.testing.assert_array_equal(keys, [3, 4])

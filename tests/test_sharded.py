@@ -1,0 +1,75 @@
+"""Multi-device sharded search on the virtual 8-CPU mesh: results must be
+IDENTICAL to the single-device exact scan (multi-shard merge equivalence —
+the contract behind the reference's `Indexes`, test_tooling.py:132)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from usearch_tpu import Index, MetricKind
+from usearch_tpu.exact import exact_search
+from usearch_tpu.parallel.mesh import make_mesh
+from usearch_tpu.parallel.sharded import ShardedIndex
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("metric", [MetricKind.Cos, MetricKind.L2sq])
+def test_sharded_matches_single_device(rng, metric):
+    n, ndim = 1000, 32
+    dataset = rng.standard_normal((n, ndim)).astype(np.float32)
+    queries = rng.standard_normal((17, ndim)).astype(np.float32)
+
+    mesh = make_mesh()
+    sharded = ShardedIndex.build(dataset, metric=metric, mesh=mesh)
+    assert len(sharded) == n
+
+    got = sharded.search(queries, 10)
+    want = exact_search(dataset, queries, 10, metric=metric)
+    np.testing.assert_array_equal(got.keys, want.keys)
+    np.testing.assert_allclose(got.distances, want.distances, atol=1e-5)
+
+
+def test_sharded_from_index(rng):
+    index = Index(ndim=16, metric="l2sq", dtype="f32")
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    keys = np.arange(200, dtype=np.uint64) + 1000
+    index.add(keys, vecs)
+    index.remove(1005)
+
+    sharded = ShardedIndex.from_index(index, make_mesh())
+    assert len(sharded) == 199
+    m = sharded.search(vecs[:5], 3)
+    np.testing.assert_array_equal(m.keys[:, 0], keys[:5])
+    assert 1005 not in sharded.search(vecs[5], 5).keys
+
+
+def test_sharded_mount(rng, tmp_path):
+    """Mount N saved shard files as one mesh view."""
+    paths = []
+    all_vecs = []
+    for s in range(3):
+        index = Index(ndim=8, metric="cos", dtype="f32")
+        vecs = rng.standard_normal((50, 8)).astype(np.float32)
+        index.add(np.arange(50, dtype=np.uint64) + s * 1000, vecs)
+        p = str(tmp_path / f"shard{s}.usearch")
+        index.save(p)
+        paths.append(p)
+        all_vecs.append(vecs)
+
+    pool = ShardedIndex.mount(paths, mesh=make_mesh())
+    assert len(pool) == 150
+    m = pool.search(all_vecs[2][:4], 1)
+    np.testing.assert_array_equal(m.keys[:, 0], np.arange(4, dtype=np.uint64) + 2000)
+
+
+def test_sharded_binary(rng):
+    bits = (rng.random((120, 128)) > 0.5).astype(np.uint8)
+    packed = np.packbits(bits, axis=1)
+    sharded = ShardedIndex.build(packed, metric=MetricKind.Hamming, mesh=make_mesh())
+    m = sharded.search(packed[:5], 1)
+    np.testing.assert_array_equal(m.keys[:, 0], np.arange(5))
+    assert np.all(m.distances[:, 0] == 0)

@@ -1,0 +1,109 @@
+"""Near-real-time clustering API — `Index.cluster`
+(reference: index_dense.hpp:1819-1981 and python/usearch/index.py:1202-1261).
+
+The reference maps queries to level-ℓ HNSW nodes, deepening when too few
+clusters surface and greedily merging nearest pairs when too many. With no
+graph levels, the TPU equivalent runs k-means over the member vectors with k
+clamped into [min_count, max_count] — the same contract (cluster count within
+bounds, centroid "keys" are member keys) with one matmul+argmin per batch.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+from .enums import MetricKind
+from .kmeans import kmeans_fit
+from .matches import BatchMatches, Clustering
+
+
+def cluster_index(
+    index,
+    *,
+    vectors: Optional[np.ndarray] = None,
+    keys: Optional[np.ndarray] = None,
+    min_count: Optional[int] = None,
+    max_count: Optional[int] = None,
+) -> Clustering:
+    member_keys = index._live_keys()
+    n = len(member_keys)
+    if n == 0:
+        empty = BatchMatches(
+            keys=np.zeros((0, 1), np.uint64),
+            distances=np.zeros((0, 1), np.float32),
+            counts=np.zeros(0, np.uint64),
+        )
+        return Clustering(index, empty, np.zeros(0, np.uint64))
+
+    member_rows = index._fetch_all_f32()
+
+    lo = int(min_count) if min_count else 2
+    hi = int(max_count) if max_count else max(lo, int(math.sqrt(n)))
+    k = int(np.clip(int(math.sqrt(n)), lo, hi))
+    k = min(k, n)
+
+    metric = index._metric_kind
+    if metric not in (MetricKind.Cos, MetricKind.IP, MetricKind.L2sq):
+        metric = MetricKind.L2sq
+    assigns, dists, centroids = kmeans_fit(member_rows, k, metric=metric, seed=0)
+
+    # Each centroid is labeled by its nearest member's key (the reference's
+    # clusters are real nodes at an upper level, index_dense.hpp:1830-1860).
+    centroid_keys = np.empty(centroids.shape[0], dtype=np.uint64)
+    for ci in range(centroids.shape[0]):
+        members = np.nonzero(assigns == ci)[0]
+        if len(members) == 0:
+            diffs = member_rows - centroids[ci][None, :]
+            nearest = int(np.argmin(np.sum(diffs * diffs, axis=1)))
+            centroid_keys[ci] = member_keys[nearest]
+        else:
+            local = np.argmin(dists[members])
+            centroid_keys[ci] = member_keys[members[local]]
+
+    # Queries: explicit vectors, an explicit subset of keys, or all members.
+    if vectors is not None:
+        q_rows = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        q_assigns, q_dists = _assign_to_centroids(q_rows, centroids, metric)
+        query_ids = np.arange(len(q_rows), dtype=np.uint64)
+    elif keys is not None:
+        keys_np = np.asarray(keys, dtype=np.uint64)
+        sel = np.isin(member_keys, keys_np)
+        q_assigns = assigns[sel]
+        q_dists = dists[sel]
+        query_ids = member_keys[sel]
+    else:
+        q_assigns, q_dists = assigns, dists
+        query_ids = member_keys
+
+    matches = BatchMatches(
+        keys=centroid_keys[q_assigns][:, None],
+        distances=q_dists[:, None].astype(np.float32),
+        counts=np.ones(len(q_assigns), dtype=np.uint64),
+    )
+    return Clustering(index, matches, query_ids)
+
+
+def _assign_to_centroids(rows: np.ndarray, centroids: np.ndarray, metric: MetricKind):
+    width = centroids.shape[1]
+    if rows.shape[1] < width:
+        rows = np.concatenate(
+            [rows, np.zeros((rows.shape[0], width - rows.shape[1]), np.float32)], axis=1
+        )
+    if metric in (MetricKind.Cos, MetricKind.IP):
+        qn = np.linalg.norm(rows, axis=1, keepdims=True)
+        cn = np.linalg.norm(centroids, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        cn[cn == 0] = 1.0
+        sims = (rows / qn) @ (centroids / cn).T
+        d = 1.0 - sims
+    else:
+        d = (
+            np.sum(rows * rows, axis=1, keepdims=True)
+            + np.sum(centroids * centroids, axis=1)[None, :]
+            - 2.0 * rows @ centroids.T
+        )
+    a = np.argmin(d, axis=1)
+    return a, d[np.arange(len(a)), a]

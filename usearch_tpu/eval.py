@@ -1,0 +1,339 @@
+"""Evaluation & benchmarking helpers, mirroring the reference's
+python/usearch/eval.py (random_vectors:24, self_recall:97, measure_seconds:142,
+dcg/ndcg/relevance:158-207, Dataset/AddTask/SearchTask/Evaluation:210-512)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from math import ceil
+from time import time_ns
+from typing import Any, Callable, List, Optional, Tuple, Union
+
+import numpy as np
+
+from .enums import (
+    MetricKind,
+    MetricKindBitwise,
+    ScalarKind,
+    normalize_dtype,
+    normalize_metric,
+    to_numpy_dtype,
+)
+from .matches import BatchMatches
+
+
+def random_vectors(
+    count: int,
+    metric: MetricKind = MetricKind.IP,
+    dtype: ScalarKind = ScalarKind.F32,
+    ndim: Optional[int] = None,
+    index=None,
+) -> np.ndarray:
+    """Random vectors normalized for `metric`/`dtype` (b1 bit-packed)."""
+    if index is not None:
+        ndim = index.ndim
+        dtype = index.dtype
+        metric = index.metric
+    else:
+        metric = normalize_metric(metric)
+        dtype = normalize_dtype(dtype, ndim=ndim or 0, metric=metric)
+
+    if metric in MetricKindBitwise or dtype == ScalarKind.B1:
+        bit_vectors = np.random.randint(2, size=(count, ndim))
+        return np.packbits(bit_vectors, axis=1)
+
+    x = np.random.rand(count, ndim)
+    if to_numpy_dtype(dtype) == np.int8:
+        return (x * 100).astype(np.int8)
+    x = x.astype(to_numpy_dtype(dtype))
+    if metric == MetricKind.IP:
+        return x / np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
+@dataclass
+class SearchStats:
+    """Search-quality statistics: recall and distance-computation efficiency."""
+
+    index_size: int
+    count_queries: int
+    count_matches: int
+    visited_members: int
+    computed_distances: int
+
+    @property
+    def mean_efficiency(self) -> float:
+        return 1 - float(self.computed_distances) / (self.count_queries * self.index_size)
+
+    @property
+    def mean_recall(self) -> float:
+        return self.count_matches / self.count_queries
+
+
+def self_recall(index, sample: Union[float, int] = 1.0, **kwargs) -> SearchStats:
+    """Queries every existing member; approximate search must find itself."""
+    if len(index) == 0:
+        return 0
+    if "count" not in kwargs:
+        kwargs["count"] = 1
+    if "keys" in kwargs:
+        keys = kwargs.pop("keys")
+    else:
+        keys = np.array(index.keys)
+    if sample != 1.0:
+        if isinstance(sample, float):
+            sample = int(ceil(len(keys) * sample))
+        keys = np.random.choice(keys, sample)
+    if "vectors" in kwargs:
+        vectors = kwargs.pop("vectors")
+    else:
+        vectors = index.get(keys)
+
+    matches = index.search(vectors, **kwargs)
+    count_matches: int = (
+        matches.count_matches(keys)
+        if isinstance(matches, BatchMatches)
+        else int(matches.keys[0] == keys[0])
+    )
+    return SearchStats(
+        index_size=len(index),
+        count_queries=len(keys),
+        count_matches=count_matches,
+        visited_members=matches.visited_members,
+        computed_distances=matches.computed_distances,
+    )
+
+
+def measure_seconds(f: Callable) -> Tuple[float, Any]:
+    a = time_ns()
+    result = f()
+    b = time_ns()
+    return (b - a) / 1e9, result
+
+
+def dcg(relevances: np.ndarray, k: Optional[int] = None) -> float:
+    if k:
+        relevances = np.asarray(relevances)[:k]
+    n = len(relevances)
+    if n == 0:
+        return 0.0
+    discounts = np.log2(np.arange(n) + 2)
+    return float(np.sum(relevances / discounts))
+
+
+def ndcg(relevances: np.ndarray, k: Optional[int] = None) -> float:
+    best = dcg(sorted(relevances, reverse=True), k)
+    if best == 0:
+        return 0.0
+    return dcg(relevances, k) / best
+
+
+def relevance(expected: np.ndarray, predicted: np.ndarray, k: Optional[int] = None) -> List[int]:
+    expected = expected[:k]
+    predicted = predicted[:k]
+    return [1 if i in expected else 0 for i in predicted]
+
+
+def recall_at_k(matches: BatchMatches, neighbors: np.ndarray, k: int) -> float:
+    """recall@k: fraction of true top-k neighbors recovered per query."""
+    found = 0
+    total = 0
+    for i in range(len(matches)):
+        truth = set(int(x) for x in neighbors[i, :k])
+        got = set(int(x) for x in matches.keys[i, :k])
+        found += len(truth & got)
+        total += len(truth)
+    return found / max(total, 1)
+
+
+@dataclass
+class Dataset:
+    keys: np.ndarray
+    vectors: np.ndarray
+    queries: np.ndarray
+    neighbors: np.ndarray
+
+    def crop_neighbors(self, k: int):
+        self.neighbors = self.neighbors[:, k]
+
+    @property
+    def ndim(self):
+        return self.vectors.shape[1]
+
+    @staticmethod
+    def build(
+        vectors: Optional[str] = None,
+        queries: Optional[str] = None,
+        neighbors: Optional[str] = None,
+        count: Optional[int] = None,
+        ndim: Optional[int] = None,
+        k: Optional[int] = None,
+        metric="cos",
+    ) -> "Dataset":
+        """Load a dataset from .fbin/.ibin files, or synthesize a random one."""
+        from .io import load_matrix
+
+        if vectors is not None:
+            vecs = load_matrix(vectors, count_rows=count)
+            qs = load_matrix(queries) if queries else vecs
+            ns = load_matrix(neighbors) if neighbors else None
+            keys = np.arange(len(vecs), dtype=np.uint64)
+            if ns is None:
+                from .exact import exact_search
+
+                m = exact_search(vecs, qs, k or 10, metric=metric)
+                ns = m.keys.astype(np.int64)
+            return Dataset(keys=keys, vectors=vecs, queries=qs, neighbors=ns)
+        assert count and ndim, "Either files or (count, ndim) must be provided"
+        vecs = np.random.rand(count, ndim).astype(np.float32)
+        qs = np.random.rand(max(count // 10, 1), ndim).astype(np.float32)
+        from .exact import exact_search
+
+        m = exact_search(vecs, qs, k or 10, metric=metric)
+        return Dataset(
+            keys=np.arange(count, dtype=np.uint64),
+            vectors=vecs,
+            queries=qs,
+            neighbors=m.keys.astype(np.int64),
+        )
+
+
+@dataclass
+class TaskResult:
+    add_operations: Optional[int] = None
+    add_per_second: Optional[float] = None
+    search_operations: Optional[int] = None
+    search_per_second: Optional[float] = None
+    recall_at_one: Optional[float] = None
+
+    @property
+    def add_seconds(self) -> float:
+        return self.add_operations / self.add_per_second
+
+    @property
+    def search_seconds(self) -> float:
+        return self.search_operations / self.search_per_second
+
+    def __add__(self, other: "TaskResult") -> "TaskResult":
+        result = TaskResult()
+        if self.add_operations and other.add_operations:
+            result.add_operations = self.add_operations + other.add_operations
+            result.add_per_second = result.add_operations / (
+                self.add_seconds + other.add_seconds
+            )
+        else:
+            for source in (self, other):
+                if source.add_operations:
+                    result.add_operations = source.add_operations
+                    result.add_per_second = source.add_per_second
+        if self.search_operations and other.search_operations:
+            result.search_operations = self.search_operations + other.search_operations
+            result.search_per_second = result.search_operations / (
+                self.search_seconds + other.search_seconds
+            )
+            result.recall_at_one = (
+                self.recall_at_one * self.search_operations
+                + other.recall_at_one * other.search_operations
+            ) / result.search_operations
+        else:
+            for source in (self, other):
+                if source.search_operations:
+                    result.search_operations = source.search_operations
+                    result.search_per_second = source.search_per_second
+                    result.recall_at_one = source.recall_at_one
+        return result
+
+
+@dataclass
+class AddTask:
+    keys: np.ndarray
+    vectors: np.ndarray
+
+    def __call__(self, index) -> TaskResult:
+        dt, _ = measure_seconds(lambda: index.add(self.keys, self.vectors))
+        return TaskResult(add_operations=len(self.keys), add_per_second=len(self.keys) / dt)
+
+    @property
+    def ndim(self):
+        return self.vectors.shape[1]
+
+    @property
+    def count(self):
+        return self.vectors.shape[0]
+
+    def inplace_shuffle(self):
+        order = np.arange(self.count)
+        np.random.shuffle(order)
+        self.keys = self.keys[order]
+        self.vectors = self.vectors[order]
+
+    def slices(self, batch_size: int) -> List["AddTask"]:
+        return [
+            AddTask(keys=self.keys[s : s + batch_size], vectors=self.vectors[s : s + batch_size])
+            for s in range(0, self.count, batch_size)
+        ]
+
+    def clusters(self, number_of_clusters: int) -> List["AddTask"]:
+        from .kmeans import kmeans_fit
+
+        assigns, _, _ = kmeans_fit(self.vectors.astype(np.float32), number_of_clusters)
+        return [
+            AddTask(keys=self.keys[assigns == c], vectors=self.vectors[assigns == c])
+            for c in range(number_of_clusters)
+        ]
+
+
+@dataclass
+class SearchTask:
+    queries: np.ndarray
+    neighbors: np.ndarray
+
+    def __call__(self, index) -> TaskResult:
+        dt, results = measure_seconds(lambda: index.search(self.queries, self.neighbors.shape[1]))
+        return TaskResult(
+            search_operations=len(self.queries),
+            search_per_second=len(self.queries) / dt,
+            recall_at_one=results.mean_recall(self.neighbors[:, 0], count=1),
+        )
+
+    def slices(self, batch_size: int) -> List["SearchTask"]:
+        return [
+            SearchTask(
+                queries=self.queries[s : s + batch_size],
+                neighbors=self.neighbors[s : s + batch_size],
+            )
+            for s in range(0, len(self.queries), batch_size)
+        ]
+
+
+@dataclass
+class Evaluation:
+    tasks: List[Any]
+    count: int
+    ndim: int
+
+    @staticmethod
+    def for_dataset(dataset: Dataset, batch_size: int = 0, clusters: int = 1) -> "Evaluation":
+        tasks = []
+        add = AddTask(keys=dataset.keys, vectors=dataset.vectors)
+        search = SearchTask(queries=dataset.queries, neighbors=dataset.neighbors)
+        if clusters > 1:
+            adds = add.clusters(clusters)
+        elif batch_size:
+            adds = add.slices(batch_size)
+        else:
+            adds = [add]
+        tasks.extend(adds)
+        if batch_size:
+            tasks.extend(search.slices(batch_size))
+        else:
+            tasks.append(search)
+        return Evaluation(tasks=tasks, count=add.count, ndim=add.ndim)
+
+    def __call__(self, index, post_clean: bool = True) -> dict:
+        task_result = TaskResult()
+        for task in self.tasks:
+            task_result = task_result + task(index)
+        if post_clean:
+            index.clear()
+        return task_result.__dict__

@@ -773,7 +773,7 @@ class Index:
         q_stats = stats_kernel(kind, q)
 
         if use_ivf:
-            d, slots = self._ivf.search(q, q_stats, valid, k, self._expansion_search)
+            d, slots = self._ivf.search(self, q, q_stats, valid, k, self._expansion_search)
             scanned = self._ivf.scanned_rows(self._expansion_search)
             return d, slots, scanned
 
@@ -920,6 +920,54 @@ class Index:
         else:
             index.load(path_or_buffer)
         return index
+
+    def _pad_stored_rows(self, rows: np.ndarray) -> np.ndarray:
+        """Pad on-disk logical rows to the padded storage width."""
+        if self._is_set_index:
+            out = np.full((rows.shape[0], self._width), -1, dtype=np.int32)
+            out[:, : rows.shape[1]] = rows
+            return out
+        if self._dtype == ScalarKind.F64:
+            rows = rows.astype(np.float32)
+        out = np.zeros((rows.shape[0], self._width), dtype=self._np_dtype)
+        out[:, : rows.shape[1]] = rows.astype(self._np_dtype)
+        return out
+
+    def _bulk_install(
+        self,
+        slots: np.ndarray,
+        keys: np.ndarray,
+        stored_rows: np.ndarray,
+        logical_rows: np.ndarray,
+    ) -> None:
+        """Install contiguous rows at load time: one HBM transfer, one stats
+        pass, host keymap rebuild (reindex_keys_ semantics)."""
+        count = len(slots)
+        full = np.zeros((self._capacity, self._width), dtype=stored_rows.dtype)
+        if self._is_set_index:
+            full[:] = -1
+        full[slots] = stored_rows
+        self._table = jnp.asarray(full, dtype=self._jax_dtype)
+        kind = ScalarKind.F32 if self._is_set_index else self._dtype
+        self._stats = stats_kernel(kind, self._table)
+        valid_np = np.zeros(self._capacity, dtype=bool)
+        valid_np[slots] = True
+        self._valid = jnp.asarray(valid_np)
+        self._slot_keys[slots] = keys
+        self._keymap.insert_many(keys, slots)
+        self._next_slot = int(slots.max()) + 1 if count else 0
+        self._count = count
+        if self._dtype == ScalarKind.F64 and not self._is_set_index:
+            self._host_f64 = np.zeros((self._capacity, self._ndim), dtype=np.float64)
+            self._host_f64[slots] = logical_rows.astype(np.float64)
+        self._ivf_dirty = True
+
+    def _fetch_all_f32(self) -> np.ndarray:
+        """All live rows decoded to f32 in live-slot order, padded width —
+        feed for clustering / IVF builds."""
+        live = self._live_slots()
+        rows = np.asarray(_gather_rows(self._table, jnp.asarray(live)))
+        return rows.astype(np.float32)
 
     def _refresh_stats(self) -> None:
         """Recompute per-row stats after a metric change between stat families."""

@@ -1,0 +1,220 @@
+"""TPU k-means — re-design of `kmeans_clustering_gt`
+(reference: include/usearch/index_plugins.hpp:2199-2500).
+
+The reference quantizes points (default bf16), scores on threads, and
+accumulates centroids in per-thread f64 partials. The TPU version keeps the
+same mixed-precision recipe mapped to hardware: assignment is ONE bf16 MXU
+matmul + argmin per batch tile, the centroid update is a segment-sum
+(one-hot matmul) accumulated in f32. Early-exit criteria mirror the
+reference's defaults: max_iterations 300, inertia threshold 1e-4, 60 s wall
+clock, 1 % minimum centroid shift (index_plugins.hpp:2206-2218).
+Metric-aware normalization: mean for L2, unit-norm for cosine
+(index_plugins.hpp:2452-2468).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .enums import MetricKind, ScalarKind, normalize_dtype, normalize_metric
+
+_ASSIGN_TILE = 16384
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _assign_step(metric: MetricKind, points, centroids, tile_rows: int):
+    """Assign every point to its nearest centroid; returns
+    (assignments i32 [N], distances f32 [N], new centroid sums f32 [K, D],
+    member counts f32 [K])."""
+    n, d = points.shape
+    k = centroids.shape[0]
+    n_tiles = max(n // tile_rows, 1)
+    tiles = points.reshape(n_tiles, tile_rows, d)
+
+    c = centroids.astype(jnp.bfloat16)
+    c_sq = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=1)
+
+    def body(carry, tile):
+        sums, counts = carry
+        t16 = tile.astype(jnp.bfloat16)
+        dots = jax.lax.dot_general(
+            t16, c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if metric == MetricKind.Cos or metric == MetricKind.IP:
+            t_norm = jnp.sqrt(jnp.sum(tile.astype(jnp.float32) ** 2, axis=1, keepdims=True))
+            c_norm = jnp.sqrt(c_sq)[None, :]
+            denom = jnp.where(t_norm * c_norm == 0, 1.0, t_norm * c_norm)
+            dists = 1.0 - dots / denom
+        else:
+            t_sq = jnp.sum(tile.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+            dists = jnp.maximum(t_sq + c_sq[None, :] - 2.0 * dots, 0.0)
+        assign = jnp.argmin(dists, axis=1).astype(jnp.int32)
+        best = jnp.min(dists, axis=1)
+        one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
+        sums = sums + jax.lax.dot_general(
+            one_hot, tile.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        counts = counts + jnp.sum(one_hot, axis=0)
+        return (sums, counts), (assign, best)
+
+    init = (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32))
+    (sums, counts), (assigns, bests) = jax.lax.scan(body, init, tiles)
+    return assigns.reshape(n), bests.reshape(n), sums, counts
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _update_centroids(metric: MetricKind, sums, counts, old_centroids):
+    safe = jnp.where(counts == 0, 1.0, counts)[:, None]
+    means = sums / safe
+    if metric in (MetricKind.Cos, MetricKind.IP):
+        norms = jnp.sqrt(jnp.sum(means * means, axis=1, keepdims=True))
+        means = means / jnp.where(norms == 0, 1.0, norms)
+    # empty clusters keep their previous centroid
+    means = jnp.where(counts[:, None] == 0, old_centroids, means)
+    shift = jnp.sqrt(jnp.sum((means - old_centroids) ** 2, axis=1))
+    scale = jnp.sqrt(jnp.sum(old_centroids**2, axis=1))
+    rel_shift = jnp.mean(shift / jnp.where(scale == 0, 1.0, scale))
+    return means, rel_shift
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _kmeanspp_init(points, key, k: int):
+    """k-means++ seeding as ONE jitted scan: each step scores all points
+    against the latest center (a [N, D] matvec on the VPU/MXU) and samples the
+    next center ∝ min-squared-distance via the Gumbel-max trick. Improves on
+    the reference's random-point init (index_plugins.hpp:2324-2350)."""
+    n = points.shape[0]
+    pf = points.astype(jnp.float32)
+    sq = jnp.sum(pf * pf, axis=1)
+
+    key, sub = jax.random.split(key)
+    first = jax.random.randint(sub, (), 0, n)
+    init_min_d = jnp.full((n,), jnp.inf, jnp.float32)
+
+    def step(carry, sub_key):
+        min_d, last_idx = carry
+        c = pf[last_idx]
+        d = jnp.maximum(sq + jnp.sum(c * c) - 2.0 * (pf @ c), 0.0)
+        min_d = jnp.minimum(min_d, d)
+        # sample ∝ min_d: argmax(log(min_d) + Gumbel)
+        g = -jnp.log(-jnp.log(jax.random.uniform(sub_key, (n,), minval=1e-12, maxval=1.0)))
+        scores = jnp.where(min_d > 0, jnp.log(jnp.maximum(min_d, 1e-30)) + g, -jnp.inf)
+        nxt = jnp.argmax(scores)
+        return (min_d, nxt), last_idx
+
+    subs = jax.random.split(key, k - 1) if k > 1 else jnp.zeros((0, 2), jnp.uint32)
+    (_, last), chosen = jax.lax.scan(step, (init_min_d, first), subs)
+    idxs = jnp.concatenate([chosen, last[None]]) if k > 1 else first[None]
+    return pf[idxs]
+
+
+_KMEANSPP_MAX_K = 4096
+
+
+def kmeans_fit(
+    points: np.ndarray,
+    k: int,
+    *,
+    metric: MetricKind = MetricKind.L2sq,
+    max_iterations: int = 300,
+    inertia_threshold: float = 1e-4,
+    max_seconds: float = 60.0,
+    min_shift: float = 0.01,
+    seed: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Lloyd's algorithm on TPU. Returns (assignments i32 [N],
+    distances f32 [N], centroids f32 [k, D])."""
+    points = np.ascontiguousarray(np.atleast_2d(points), dtype=np.float32)
+    n, d = points.shape
+    k = int(min(k, n))
+    rng = np.random.default_rng(seed)
+
+    if k <= _KMEANSPP_MAX_K:
+        jkey = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
+        centroids = _kmeanspp_init(jnp.asarray(points), jkey, k)
+    else:
+        init_rows = rng.choice(n, size=k, replace=False)
+        centroids = jnp.asarray(points[init_rows], dtype=jnp.float32)
+
+    tile_rows = min(_ASSIGN_TILE, max(n, 1))
+    n_pad = ((n + tile_rows - 1) // tile_rows) * tile_rows
+    if n_pad > n:
+        # pad with copies of row 0; padded rows are sliced away from results
+        # but DO enter centroid sums — compensate by subtracting them below.
+        pts_pad = np.concatenate([points, np.tile(points[:1], (n_pad - n, 1))])
+    else:
+        pts_pad = points
+    pts_dev = jnp.asarray(pts_pad)
+
+    last_inertia = np.inf
+    started = time.monotonic()
+    assigns = dists = None
+    for _ in range(int(max_iterations)):
+        assigns, dists, sums, counts = _assign_step(metric, pts_dev, centroids, tile_rows)
+        if n_pad > n:
+            # remove padded contributions (they all share row 0's assignment)
+            pad_assign = assigns[n]
+            pad_count = jnp.float32(n_pad - n)
+            sums = sums.at[pad_assign].add(-pts_dev[0].astype(jnp.float32) * pad_count)
+            counts = counts.at[pad_assign].add(-pad_count)
+        centroids, rel_shift = _update_centroids(metric, sums, counts, centroids)
+        # Re-seed empty clusters at the farthest points — recovers from
+        # seeding collisions instead of carrying dead centroids forever.
+        counts_np = np.asarray(counts)
+        empty = np.nonzero(counts_np == 0)[0]
+        if len(empty):
+            _, far = jax.lax.top_k(dists[:n], len(empty))
+            centroids = centroids.at[jnp.asarray(empty)].set(
+                pts_dev[far].astype(jnp.float32)
+            )
+        inertia = float(jnp.sum(dists[:n]))
+        if last_inertia != np.inf and last_inertia > 0:
+            if abs(last_inertia - inertia) / last_inertia < inertia_threshold:
+                break
+        last_inertia = inertia
+        if float(rel_shift) < min_shift:
+            break
+        if time.monotonic() - started > max_seconds:
+            break
+
+    # final assignment against converged centroids
+    assigns, dists, _, _ = _assign_step(metric, pts_dev, centroids, tile_rows)
+    return (
+        np.asarray(assigns[:n], dtype=np.int64),
+        np.asarray(dists[:n], dtype=np.float32),
+        np.asarray(centroids, dtype=np.float32),
+    )
+
+
+def kmeans(
+    X: np.ndarray,
+    k: int,
+    metric: str = "l2sq",
+    dtype: str = "bf16",
+    max_iterations: int = 300,
+    inertia_threshold: float = 1e-4,
+    max_seconds: float = 60.0,
+    min_shifts: float = 0.01,
+    seed: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Free-function clustering API mirroring `usearch.index.kmeans`
+    (reference: python/usearch/index.py:1618-1710 → python/lib.cpp:1072).
+    Returns (assignments, distances, centroids)."""
+    m = normalize_metric(metric)
+    return kmeans_fit(
+        np.asarray(X, dtype=np.float32),
+        k,
+        metric=m,
+        max_iterations=max_iterations,
+        inertia_threshold=inertia_threshold,
+        max_seconds=max_seconds,
+        min_shift=min_shifts,
+        seed=seed,
+    )

@@ -1,0 +1,214 @@
+"""Serialization: save / load / view / metadata sniffing.
+
+The checkpoint story of the reference is its serialization system
+(reference: include/usearch/index_dense.hpp:992-1438 — 64-byte binary head +
+vectors matrix; index.hpp:3263-3572 — streamed graph). With no graph to
+persist, the TPU format is: fixed binary magic + JSON header + raw keys +
+raw vector matrix in storage dtype. `view` memory-maps the matrix on host
+(zero host copies; the reference's mmap `view`, index.hpp:1723-1853) and
+streams it to device HBM in one transfer.
+
+Format v1 (little-endian):
+    [0:12)   magic  b"usearch_tpu\\0"
+    [12:14)  u16    format version (1)
+    [14:16)  u16    reserved
+    [16:20)  u32    JSON header length H
+    [20:20+H) JSON  {metric, dtype, ndim, count, multi, row_bytes, set_index, library_version}
+    then     count × u64 keys
+    then     count × row_bytes vector rows (stored representation, unpadded)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+from typing import Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+MAGIC = b"usearch_tpu\x00"
+FORMAT_VERSION = 1
+LIBRARY_VERSION = "2.21.0+tpu.0.1"
+
+
+def _logical_rows_np(index) -> np.ndarray:
+    """Live rows in slot order, in on-disk (unpadded, stored-dtype) layout."""
+    from .enums import ScalarKind, to_numpy_dtype
+
+    live = index._live_slots()
+    if index._is_set_index:
+        rows = np.asarray(index._table)[live][:, : index._ndim].astype(np.int32)
+        return rows
+    if index._dtype == ScalarKind.F64 and index._host_f64 is not None:
+        return index._host_f64[live].astype(np.float64)
+    rows = np.asarray(index._table)[live]
+    if index._dtype == ScalarKind.B1:
+        return rows[:, : (index._ndim + 7) // 8].astype(np.uint8)
+    return rows[:, : index._ndim].astype(to_numpy_dtype(index._dtype))
+
+
+def _header_dict(index, count: int) -> dict:
+    return {
+        "metric": index._metric_kind.value,
+        "dtype": "i8" if index._is_set_index else index._dtype.value,
+        "ndim": index._ndim,
+        "count": count,
+        "multi": index._multi,
+        "row_bytes": index._logical_row_bytes(),
+        "set_index": index._is_set_index,
+        "library_version": LIBRARY_VERSION,
+        "connectivity": index._connectivity,
+        "expansion_add": index._expansion_add,
+        "expansion_search": index._expansion_search,
+    }
+
+
+def _serialize(index) -> tuple:
+    rows = _logical_rows_np(index)
+    keys = index._live_keys().astype("<u8")
+    header = json.dumps(_header_dict(index, len(keys))).encode()
+    head = bytearray()
+    head += MAGIC
+    head += int(FORMAT_VERSION).to_bytes(2, "little")
+    head += (0).to_bytes(2, "little")
+    head += len(header).to_bytes(4, "little")
+    head += header
+    return bytes(head), keys, rows
+
+
+def save_index(index, path: str, progress=None) -> None:
+    head, keys, rows = _serialize(index)
+    with open(path, "wb") as f:
+        f.write(head)
+        f.write(keys.tobytes())
+        f.write(np.ascontiguousarray(rows).tobytes())
+
+
+def save_index_to_buffer(index) -> bytes:
+    head, keys, rows = _serialize(index)
+    return head + keys.tobytes() + np.ascontiguousarray(rows).tobytes()
+
+
+def _parse_header(raw: bytes):
+    if raw[:12] != MAGIC:
+        raise ValueError("Not a usearch_tpu index (bad magic)")
+    version = int.from_bytes(raw[12:14], "little")
+    if version > FORMAT_VERSION:
+        raise ValueError(f"Unsupported format version {version}")
+    hlen = int.from_bytes(raw[16:20], "little")
+    meta = json.loads(raw[20 : 20 + hlen].decode())
+    return meta, 20 + hlen
+
+
+def index_metadata(path_or_buffer) -> dict:
+    """Sniff file/buffer metadata without loading vectors — the analog of
+    `index_dense_metadata_from_path` (reference: index_dense.hpp:253-369)."""
+    if isinstance(path_or_buffer, (bytes, bytearray, memoryview)):
+        raw = bytes(path_or_buffer[:4096])
+    else:
+        with open(os.fspath(path_or_buffer), "rb") as f:
+            raw = f.read(4096)
+    meta, _ = _parse_header(raw)
+    return {
+        "matrix_included": True,
+        "matrix_uses_64_bit_dimensions": False,
+        "version": meta.get("library_version", LIBRARY_VERSION),
+        "kind_metric": meta["metric"],
+        "kind_scalar": meta["dtype"],
+        "kind_key": "u64",
+        "kind_compressed_slot": "u32",
+        "count_present": meta["count"],
+        "count_deleted": 0,
+        "dimensions": meta["ndim"],
+        "multi": meta.get("multi", False),
+        "metric": meta["metric"],
+        "dtype": meta["dtype"],
+    }
+
+
+def _load_arrays(source, view: bool):
+    """Returns (meta, keys u64 [N], rows np [N, row_elems])."""
+    if isinstance(source, (bytes, bytearray, memoryview)):
+        raw = bytes(source)
+        meta, off = _parse_header(raw[:4096])
+        count = meta["count"]
+        keys = np.frombuffer(raw, dtype="<u8", count=count, offset=off)
+        rows_off = off + count * 8
+        rows = _rows_from_bytes(raw, rows_off, meta)
+        return meta, keys, rows
+    path = os.fspath(source)
+    with open(path, "rb") as f:
+        head = f.read(4096)
+    meta, off = _parse_header(head)
+    count = meta["count"]
+    if view:
+        keys = np.fromfile(path, dtype="<u8", count=count, offset=off)
+        mm = np.memmap(path, dtype=np.uint8, mode="r", offset=off + count * 8)
+        rows = _rows_from_bytes(mm, 0, meta)
+    else:
+        with open(path, "rb") as f:
+            f.seek(off)
+            keys = np.frombuffer(f.read(count * 8), dtype="<u8")
+            rows = _rows_from_bytes(f.read(), 0, meta)
+    return meta, keys, rows
+
+
+def _rows_from_bytes(buf, offset: int, meta: dict) -> np.ndarray:
+    from .enums import ScalarKind, normalize_dtype, to_numpy_dtype
+
+    count = meta["count"]
+    ndim = meta["ndim"]
+    if meta.get("set_index"):
+        dt, per_row = np.int32, ndim
+    else:
+        kind = normalize_dtype(meta["dtype"])
+        if kind == ScalarKind.B1:
+            dt, per_row = np.uint8, (ndim + 7) // 8
+        else:
+            dt, per_row = to_numpy_dtype(kind), ndim
+    arr = np.frombuffer(buf, dtype=dt, count=count * per_row, offset=offset)
+    return arr.reshape(count, per_row)
+
+
+def load_index_into(index, path: str, view: bool = False) -> None:
+    meta, keys, rows = _load_arrays(path, view)
+    _populate(index, meta, keys, rows)
+
+
+def load_index_from_buffer(index, buffer) -> None:
+    meta, keys, rows = _load_arrays(buffer, view=False)
+    _populate(index, meta, keys, rows)
+
+
+def _populate(index, meta: dict, keys: np.ndarray, rows: np.ndarray) -> None:
+    """Reconfigure `index` from file metadata and bulk-ingest rows.
+
+    Mirrors the reference's load, which resets config from the file head and
+    rebuilds the key lookup (`reindex_keys_`, index_dense.hpp:2158-2188)."""
+    from .enums import normalize_dtype, normalize_metric
+
+    index.reset()
+    index._metric_kind = normalize_metric(meta["metric"])
+    index._dtype = normalize_dtype(meta["dtype"])
+    index._ndim = meta["ndim"]
+    index._multi = bool(meta.get("multi", False))
+    index._is_set_index = bool(meta.get("set_index", False))
+    index.__init__(
+        ndim=meta["ndim"],
+        metric=meta["metric"],
+        dtype=None if meta.get("set_index") else meta["dtype"],
+        connectivity=meta.get("connectivity", index._connectivity),
+        expansion_add=meta.get("expansion_add", index._expansion_add),
+        expansion_search=meta.get("expansion_search", index._expansion_search),
+        multi=bool(meta.get("multi", False)),
+    )
+    count = meta["count"]
+    if count == 0:
+        return
+    index.reserve(count)
+    slots = np.arange(count, dtype=np.int64)
+    # Upload the stored representation directly (no re-cast, no re-quantize).
+    stored = index._pad_stored_rows(rows)
+    index._bulk_install(slots, np.asarray(keys, dtype=np.uint64), stored, rows)
