@@ -1,0 +1,48 @@
+"""RPC server/client round trip (reference: python/usearch/server.py +
+client.py UCall surface)."""
+
+import numpy as np
+import pytest
+
+from usearch_tpu import Index
+from usearch_tpu.client import IndexClient
+from usearch_tpu.server import IndexServer
+
+
+@pytest.fixture
+def served_index():
+    index = Index(ndim=8, metric="l2sq", dtype="f32")
+    server = IndexServer(index, port=0).start()  # ephemeral port
+    client = IndexClient(port=server.port)
+    yield index, client
+    server.stop()
+
+
+def test_rpc_round_trip(served_index, rng):
+    index, client = served_index
+    vecs = rng.standard_normal((20, 8)).astype(np.float32)
+
+    added = client.add(np.arange(20), vecs)
+    assert len(added) == 20
+    assert len(client) == 20
+    assert client.info["ndim"] == 8
+
+    m = client.search(vecs[:3], 5)
+    np.testing.assert_array_equal(m.keys[:, 0], [0, 1, 2])
+    assert np.all(m.counts == 5)
+
+    got = client.get(np.array([4]))
+    np.testing.assert_allclose(np.asarray(got)[0], vecs[4], atol=1e-6)
+
+    assert client.contains(np.array([4, 99])).tolist() == [True, False]
+    removed = client.remove(np.array([4]))
+    assert removed.tolist() == [1]
+    assert len(client) == 19
+    # server mutations visible on the underlying index
+    assert not index.contains(4)
+
+
+def test_rpc_error_propagates(served_index):
+    _, client = served_index
+    with pytest.raises(RuntimeError):
+        client._call("no_such_method")

@@ -14,6 +14,7 @@ from .enums import (
     USES_FP16LIB,
     USES_OPENMP,
     USES_SIMSIMD,
+    CompiledMetric,
     MetricKind,
     MetricKindBitwise,
     MetricSignature,
@@ -53,6 +54,7 @@ def search(
 
 
 __all__ = [
+    "CompiledMetric",
     "Index",
     "Indexes",
     "IndexStats",

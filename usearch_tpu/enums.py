@@ -44,12 +44,37 @@ class MetricSignature(enum.Enum):
     ArrayArrayState = 2
 
 
+class CompiledMetric:
+    """User-defined metric (reference: CompiledMetric NamedTuple,
+    python/usearch/index.py:60, wrapping Numba/Cppyy function pointers).
+
+    TPU-native UDFs are JAX-traceable callables ``f(a[D], b[D]) -> distance``
+    instead of raw C pointers: XLA fuses them straight into the scan kernel —
+    the same role the reference's `metric_punned_t` stateless wrapper plays
+    (index_plugins.hpp:1772-1798), minus the FFI.
+    """
+
+    __slots__ = ("fn", "kind", "signature")
+
+    def __init__(self, fn, kind: "MetricKind" = None, signature=None):
+        assert callable(fn), "CompiledMetric needs a JAX-traceable callable"
+        self.fn = fn
+        self.kind = kind if kind is not None else MetricKind.Unknown
+        self.signature = signature or MetricSignature.ArrayArray
+
+    # NamedTuple-compat alias (the reference calls the payload `pointer`)
+    @property
+    def pointer(self):
+        return self.fn
+
+
 MetricKindBitwise = (MetricKind.Hamming, MetricKind.Tanimoto, MetricKind.Sorensen)
 
 #: Metrics whose score is derived from a dot product (MXU-friendly fast path).
 MetricKindDot = (MetricKind.IP, MetricKind.Cos, MetricKind.L2sq, MetricKind.Pearson)
 
 _METRIC_ALIASES = {
+    "unknown": MetricKind.Unknown,
     "ip": MetricKind.IP,
     "dot": MetricKind.IP,
     "inner": MetricKind.IP,

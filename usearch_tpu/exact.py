@@ -54,7 +54,7 @@ def pick_tile_rows(n_rows: int, row_bytes: int, metric: MetricKind, ndim: int, n
     return min(tile, n_rows)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(0, 1, 7, 8, 9, 10))
 def search_kernel(
     metric: MetricKind,
     kind: ScalarKind,
@@ -66,13 +66,16 @@ def search_kernel(
     ndim: int,
     k: int,
     tile_rows: int,
+    metric_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Jitted top-k search of prepared queries against a prepared table."""
     n_rows = table.shape[0]
     if n_rows <= tile_rows:
-        d = tile_dists(metric, kind, q, q_stats, table, stats, ndim)
+        d = tile_dists(metric, kind, q, q_stats, table, stats, ndim, metric_fn)
         return masked_topk(d, valid, k)
-    return scan_topk(metric, kind, q, q_stats, table, stats, valid, k, tile_rows, ndim)
+    return scan_topk(
+        metric, kind, q, q_stats, table, stats, valid, k, tile_rows, ndim, metric_fn
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

@@ -123,7 +123,17 @@ class Index:
         path=None,
         enable_key_lookups: bool = True,
     ) -> None:
-        self._metric_kind = normalize_metric(metric)
+        from .enums import CompiledMetric
+
+        self._metric_fn = None
+        if isinstance(metric, CompiledMetric):
+            self._metric_fn = metric.fn
+            self._metric_kind = metric.kind
+        elif callable(metric) and not isinstance(metric, (str, MetricKind)):
+            self._metric_fn = metric
+            self._metric_kind = MetricKind.Unknown
+        else:
+            self._metric_kind = normalize_metric(metric)
         if self._metric_kind == MetricKind.Haversine and ndim == 0:
             ndim = 2
         self._dtype = normalize_dtype(dtype, ndim=ndim, metric=self._metric_kind)
@@ -711,6 +721,7 @@ class Index:
         use_ivf = (
             not exact
             and not self._is_set_index
+            and self._metric_fn is None
             and self._ivf is not None
             and not self._ivf_dirty
         )
@@ -783,7 +794,17 @@ class Index:
             tile_rows //= 2
         metric = self._metric_kind
         d, slots = search_kernel(
-            metric, kind, q, q_stats, self._table, self._stats, valid, self._ndim, k, tile_rows
+            metric,
+            kind,
+            q,
+            q_stats,
+            self._table,
+            self._stats,
+            valid,
+            self._ndim,
+            k,
+            tile_rows,
+            self._metric_fn,
         )
         return d, slots, self._count
 
@@ -800,7 +821,13 @@ class Index:
         rows_l = _gather_rows(self._table, jnp.asarray(slots_l))
         rows_r = _gather_rows(self._table, jnp.asarray(slots_r))
         kind = ScalarKind.F32 if self._is_set_index else self._dtype
-        d = np.asarray(pair_dists(self._metric_kind, kind, rows_l, rows_r, self._ndim))
+        if self._metric_fn is not None:
+            fn = self._metric_fn
+            d = np.asarray(
+                jax.vmap(fn)(rows_l.astype(jnp.float32), rows_r.astype(jnp.float32))
+            )
+        else:
+            d = np.asarray(pair_dists(self._metric_kind, kind, rows_l, rows_r, self._ndim))
         if single:
             return float(d[0])
         return d

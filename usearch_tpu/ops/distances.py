@@ -195,13 +195,27 @@ def tile_dists(
     tile: jnp.ndarray,
     tile_stats: Optional[jnp.ndarray],
     ndim: int,
+    metric_fn=None,
 ) -> jnp.ndarray:
     """Distances of queries against one table tile: [Q, T] f32.
 
     ``q``/``tile`` are in storage layout: packed uint8 bytes for b1 (unpacked
     to int8 bits on the fly, then MXU int8 matmul), int8 for i8, floats
     otherwise. ``*_stats`` are ``row_stats`` outputs.
+
+    ``metric_fn`` is the user-defined-metric hook — a JAX-traceable
+    ``f(a[D], b[D]) -> distance`` vmapped over the tile. The TPU-native
+    replacement for the reference's compiled-pointer UDFs
+    (metric_punned_t stateless/stateful wrappers, index_plugins.hpp:1772-1812):
+    instead of a C function pointer, the user hands us a traceable program
+    that XLA fuses into the scan.
     """
+    if metric_fn is not None:
+        qf = q.astype(jnp.float32)
+        tf = tile.astype(jnp.float32)
+        return jax.vmap(lambda q1: jax.vmap(lambda t1: metric_fn(q1, t1))(tf))(qf).astype(
+            jnp.float32
+        )
     if metric == MetricKind.Haversine:
         return haversine_dists(q, tile)
     if metric == MetricKind.Divergence:

@@ -64,6 +64,7 @@ def scan_topk(
     k: int,
     tile_rows: int,
     ndim: int,
+    metric_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Tiled streaming search: [Q, D] against [N, D] → best-k per query.
 
@@ -88,7 +89,7 @@ def scan_topk(
     def body(carry, xs):
         best_d, best_i = carry
         tile, tile_stats, tile_valid, offset = xs
-        d = tile_dists(metric, kind, q, q_stats, tile, tile_stats, ndim)
+        d = tile_dists(metric, kind, q, q_stats, tile, tile_stats, ndim, metric_fn)
         d = jnp.where(tile_valid[None, :], d, MASKED)
         ids = jnp.broadcast_to(
             offset + jnp.arange(tile_rows, dtype=jnp.int32)[None, :], d.shape
