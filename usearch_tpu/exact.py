@@ -54,12 +54,11 @@ def pick_tile_rows(n_rows: int, row_bytes: int, metric: MetricKind, ndim: int, n
     return min(tile, n_rows)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(0, 1, 6, 7, 8, 9))
 def search_kernel(
     metric: MetricKind,
     kind: ScalarKind,
     q: jnp.ndarray,
-    q_stats: jnp.ndarray,
     table: jnp.ndarray,
     stats: jnp.ndarray,
     valid: jnp.ndarray,
@@ -68,7 +67,12 @@ def search_kernel(
     tile_rows: int,
     metric_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Jitted top-k search of prepared queries against a prepared table."""
+    """Jitted top-k search of prepared queries against a prepared table.
+
+    Query stats are computed INSIDE the jit: one dispatch per search — on
+    remote-tunneled devices every extra dispatch costs a full RPC round trip.
+    """
+    q_stats = row_stats(q, kind)
     n_rows = table.shape[0]
     if n_rows <= tile_rows:
         d = tile_dists(metric, kind, q, q_stats, table, stats, ndim, metric_fn)
@@ -192,13 +196,12 @@ def exact_search(
     table = jnp.asarray(table_np, dtype=jdt)
     q = jnp.asarray(q_np, dtype=jdt)
     stats = stats_kernel(kind, table)
-    q_stats = stats_kernel(kind, q)
     valid = jnp.arange(n_pad) < n_rows
 
     tile_rows = pick_tile_rows(n_pad, table_np.shape[1] * table_np.itemsize, metric, ndim, q_pad)
     while n_pad % tile_rows:
         tile_rows //= 2
-    d, i = search_kernel(metric, kind, q, q_stats, table, stats, valid, ndim, count, tile_rows)
+    d, i = search_kernel(metric, kind, q, table, stats, valid, ndim, count, tile_rows)
     d = np.asarray(d)[:n_q]
     i = np.asarray(i)[:n_q]
     counts = np.sum(i >= 0, axis=1).astype(np.uint64)

@@ -21,6 +21,7 @@ capacity-padded HBM table scored by MXU matmuls with a streaming top-k
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple, Union
@@ -61,10 +62,14 @@ from .ops.packbits import unpack_bits_np
 ROW_TILE = 1024
 
 
-@jax.jit
-def _scatter_rows(table, stats, valid, slots, rows, rstats):
+@functools.partial(jax.jit, static_argnums=(5,))
+def _scatter_rows(table, stats, valid, slots, rows, kind):
     """Insert rows at ``slots``; padded entries carry an out-of-bounds slot
-    (== capacity) and are dropped by JAX's scatter semantics."""
+    (== capacity) and are dropped by JAX's scatter semantics. Row stats are
+    computed inside the same program: one dispatch per add batch."""
+    from .ops.distances import row_stats
+
+    rstats = row_stats(rows, kind)
     table = table.at[slots].set(rows)
     stats = stats.at[slots].set(rstats)
     valid = valid.at[slots].set(True)
@@ -496,14 +501,13 @@ class Index:
             slots_pad, rows_pad = slots, rows
         rows_dev = jnp.asarray(rows_pad, dtype=self._jax_dtype)
         kind = ScalarKind.F32 if self._is_set_index else self._dtype
-        rstats = stats_kernel(kind, rows_dev)
         self._table, self._stats, self._valid = _scatter_rows(
             self._table,
             self._stats,
             self._valid,
             jnp.asarray(slots_pad, dtype=jnp.int32),
             rows_dev,
-            rstats,
+            kind,
         )
 
     # ------------------------------------------------------------------
@@ -727,8 +731,9 @@ class Index:
         )
         d, slots, scanned = self._search_prepared(q_rows, k, valid, use_ivf)
 
-        d = np.asarray(d)[:n_q]
-        slots = np.asarray(slots)[:n_q]
+        d, slots = jax.device_get((d, slots))  # ONE host round trip
+        d = d[:n_q]
+        slots = slots[:n_q]
         self._computed_distances += int(scanned) * n_q
         self._visited_members += int(scanned) * n_q
 
@@ -781,10 +786,9 @@ class Index:
             )
         q = jnp.asarray(q_rows, dtype=self._jax_dtype)
         kind = ScalarKind.F32 if self._is_set_index else self._dtype
-        q_stats = stats_kernel(kind, q)
 
         if use_ivf:
-            d, slots = self._ivf.search(self, q, q_stats, valid, k, self._expansion_search)
+            d, slots = self._ivf.search(self, q, valid, k, self._expansion_search)
             scanned = self._ivf.scanned_rows(self._expansion_search)
             return d, slots, scanned
 
@@ -797,7 +801,6 @@ class Index:
             metric,
             kind,
             q,
-            q_stats,
             self._table,
             self._stats,
             valid,

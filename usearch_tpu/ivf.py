@@ -82,13 +82,12 @@ class IVFPartitions:
     def scanned_rows(self, expansion_search: int, connectivity: int = 16) -> int:
         return int(self.nprobe_for(expansion_search, connectivity) * self.part_rows.shape[1])
 
-    def search(self, index, q, q_stats, valid, k: int, expansion_search: int):
+    def search(self, index, q, valid, k: int, expansion_search: int):
         nprobe = self.nprobe_for(expansion_search, index._connectivity)
         return _ivf_probe_search(
             index._metric_kind,
             index._dtype,
             q,
-            q_stats,
             index._table,
             index._stats,
             valid,
@@ -100,12 +99,11 @@ class IVFPartitions:
         )
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(0, 1, 8, 9, 10))
 def _ivf_probe_search(
     metric: MetricKind,
     kind: ScalarKind,
     q,
-    q_stats,
     table,
     stats,
     valid,
@@ -120,7 +118,10 @@ def _ivf_probe_search(
     Queries are processed in fixed chunks via lax.map so the gathered
     [chunk, nprobe*P, D] candidate tensor stays bounded.
     """
+    from .ops.distances import row_stats
+
     n_q = q.shape[0]
+    q_stats = row_stats(q, kind)
     qf = q.astype(jnp.float32)
 
     dots = jax.lax.dot_general(

@@ -52,7 +52,6 @@ def _local_topk(metric, kind, q, q_stats, table, stats, valid, ndim, k, tile_row
 )
 def sharded_search_kernel(
     q,
-    q_stats,
     table,
     stats,
     valid,
@@ -70,8 +69,9 @@ def sharded_search_kernel(
     Returned indices are GLOBAL row ids (shard offset folded in)."""
     n_shards = mesh.shape[axis]
     rows_per_shard = table.shape[0] // n_shards
+    q_stats = row_stats(q, kind)
 
-    def local(q, q_stats, table, stats, valid):
+    def local(q, q_stats, table, stats, valid):  # noqa: ANN001 - shard_map body
         shard_id = jax.lax.axis_index(axis)
         d, i = _local_topk(metric, kind, q, q_stats, table, stats, valid, ndim, k, tile_rows)
         i = jnp.where(i >= 0, i + shard_id * rows_per_shard, -1)
@@ -212,7 +212,6 @@ class ShardedIndex:
             )
         jdt = to_jax_dtype(self.kind)
         q = jnp.asarray(q_rows, dtype=jdt)
-        q_stats = row_stats(q, self.kind)
 
         n_shards = self.mesh.shape[SHARD_AXIS]
         shard_rows = self._table.shape[0] // n_shards
@@ -223,7 +222,6 @@ class ShardedIndex:
 
         d, i = sharded_search_kernel(
             q,
-            q_stats,
             self._table,
             self._stats,
             self._valid,
