@@ -291,3 +291,23 @@ def test_auto_keys():
     np.testing.assert_array_equal(keys, [0, 1, 2])
     keys = index.add(None, np.random.rand(2, 4).astype(np.float32))
     np.testing.assert_array_equal(keys, [3, 4])
+
+
+def test_compact():
+    """Compaction packs live rows and preserves search results
+    (reference index.hpp:3590-3682 compact)."""
+    index = Index(ndim=8, dtype="f32")
+    vecs = np.random.rand(50, 8).astype(np.float32)
+    index.add(np.arange(50), vecs)
+    index.remove(np.arange(0, 50, 2))  # drop evens
+    assert len(index) == 25
+    before = index.search(vecs[1], 5)
+    n = index.compact()
+    assert n == 25
+    assert index.capacity >= 25
+    after = index.search(vecs[1], 5)
+    np.testing.assert_array_equal(before.keys, after.keys)
+    np.testing.assert_allclose(before.distances, after.distances, atol=1e-6)
+    # adds still work after compaction
+    index.add(1000, vecs[0])
+    assert index.search(vecs[0], 1).keys[0] == 1000

@@ -1,0 +1,61 @@
+"""Pallas fused scan kernel vs the XLA reference path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from usearch_tpu.enums import MetricKind, ScalarKind
+from usearch_tpu.ops.distances import row_stats, tile_dists
+from usearch_tpu.ops.pallas_scan import pallas_search, supports
+from usearch_tpu.ops.topk import masked_topk
+
+
+@pytest.mark.parametrize("metric", [MetricKind.IP, MetricKind.Cos, MetricKind.L2sq])
+def test_pallas_matches_xla_top1(rng, metric):
+    # enough 128-wide bins (n/128 = 128) that bin collisions stay rare:
+    # expected recall ≈ 1 - C(k,2)/B ≈ 97.8% here, ≥99.9% at production N
+    n, d, q_n, k = 16384, 128, 256, 8
+    table = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((q_n, d)), jnp.float32)
+    stats = row_stats(table, ScalarKind.F32)
+    q_stats = row_stats(q, ScalarKind.F32)
+    valid = jnp.ones((n,), bool)
+
+    want = masked_topk(
+        tile_dists(metric, ScalarKind.F32, q, q_stats, table, stats, d), valid, k
+    )
+    got_d, got_i = pallas_search(
+        metric, q, table, stats, valid, k, q_tile=256, t_tile=2048, interpret=True
+    )
+
+    # top-1 must agree exactly (a bin holds at most one of the top hits)
+    np.testing.assert_array_equal(np.asarray(got_i[:, 0]), np.asarray(want[1][:, 0]))
+    np.testing.assert_allclose(np.asarray(got_d[:, 0]), np.asarray(want[0][:, 0]), rtol=1e-5)
+    # recall@k of the binned scan vs exact ≥ 95% on random data
+    hits = 0
+    for i in range(q_n):
+        hits += len(set(np.asarray(got_i[i]).tolist()) & set(np.asarray(want[1][i]).tolist()))
+    assert hits / (q_n * k) > 0.95
+
+
+def test_pallas_respects_mask(rng):
+    n, d, q_n, k = 2048, 128, 256, 4
+    table = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    q = table[:q_n]
+    stats = row_stats(table, ScalarKind.F32)
+    valid = jnp.asarray(np.arange(n) % 2 == 0)  # only even rows valid
+
+    got_d, got_i = pallas_search(
+        MetricKind.L2sq, q, table, stats, valid, k, q_tile=256, t_tile=1024, interpret=True
+    )
+    ids = np.asarray(got_i)
+    assert np.all(ids[ids >= 0] % 2 == 0)
+    # even-row self queries still find themselves
+    np.testing.assert_array_equal(ids[::2, 0], np.arange(0, q_n, 2))
+
+
+def test_supports():
+    assert supports(MetricKind.IP, ScalarKind.BF16)
+    assert not supports(MetricKind.Hamming, ScalarKind.B1)
+    assert not supports(MetricKind.IP, ScalarKind.I8)

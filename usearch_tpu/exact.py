@@ -25,9 +25,9 @@ from .ops.casts import cast_vectors
 from .ops.distances import MASKED, row_stats, tile_dists
 from .ops.topk import masked_topk, scan_topk
 
-#: Row-tile target in bytes for the streaming scan: large enough to keep the
-#: MXU busy, small enough to double-buffer in VMEM.
-_TILE_BYTES = 4 * 1024 * 1024
+#: Row-tile target in bytes for the streaming scan: big tiles amortize the
+#: per-step merge/top-k cost; XLA tiles the inner matmul into VMEM itself.
+_TILE_BYTES = 32 * 1024 * 1024
 #: Above this many rows the scan path replaces the single-shot path.
 _SINGLE_SHOT_MAX_ROWS = 65536
 #: Broadcast metrics ([Q, T, D] intermediates) cap the tile element count.
@@ -54,7 +54,7 @@ def pick_tile_rows(n_rows: int, row_bytes: int, metric: MetricKind, ndim: int, n
     return min(tile, n_rows)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(0, 1, 6, 7, 8, 9, 10))
 def search_kernel(
     metric: MetricKind,
     kind: ScalarKind,
@@ -66,6 +66,7 @@ def search_kernel(
     k: int,
     tile_rows: int,
     metric_fn=None,
+    approx: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Jitted top-k search of prepared queries against a prepared table.
 
@@ -78,7 +79,7 @@ def search_kernel(
         d = tile_dists(metric, kind, q, q_stats, table, stats, ndim, metric_fn)
         return masked_topk(d, valid, k)
     return scan_topk(
-        metric, kind, q, q_stats, table, stats, valid, k, tile_rows, ndim, metric_fn
+        metric, kind, q, q_stats, table, stats, valid, k, tile_rows, ndim, metric_fn, approx
     )
 
 

@@ -657,6 +657,51 @@ class Index:
     def __del__(self):  # pragma: no cover
         pass
 
+    def compact(self) -> int:
+        """Defragment: pack live rows to the front and drop free slots.
+
+        The TPU analog of `index_gt::compact` (reference: index.hpp:3590-3682
+        reorders nodes for cache locality) — here it reclaims scatter holes
+        after removes so scans touch only dense rows. Returns the live count.
+        """
+        if self._viewed:
+            raise RuntimeError("Can't compact an immutable viewed index")
+        if self._table is None or self._count == 0:
+            self._free_slots = []
+            self._next_slot = self._count
+            return self._count
+        live = self._live_slots()
+        if len(live) == self._next_slot:
+            return self._count  # already dense
+        keys = self._slot_keys[live].copy()
+        rows = np.asarray(_gather_rows(self._table, jnp.asarray(live)))
+        f64_rows = self._host_f64[live].copy() if self._host_f64 is not None else None
+
+        count = len(live)
+        slots = np.arange(count, dtype=np.int64)
+        self._keymap = KeyMap(multi=self._multi)
+        self._free_slots = []
+        full = np.zeros((self._capacity, self._width), dtype=rows.dtype)
+        if self._is_set_index:
+            full[:] = -1
+        full[:count] = rows
+        self._table = jnp.asarray(full, dtype=self._jax_dtype)
+        kind = ScalarKind.F32 if self._is_set_index else self._dtype
+        self._stats = stats_kernel(kind, self._table)
+        valid_np = np.zeros(self._capacity, dtype=bool)
+        valid_np[:count] = True
+        self._valid = jnp.asarray(valid_np)
+        self._slot_keys[:] = 0
+        self._slot_keys[:count] = keys
+        self._keymap.insert_many(keys, slots)
+        self._next_slot = count
+        self._count = count
+        if f64_rows is not None:
+            self._host_f64[:] = 0
+            self._host_f64[:count] = f64_rows
+        self._ivf_dirty = True
+        return self._count
+
     def copy(self) -> "Index":
         other = Index(
             ndim=self._ndim,
@@ -729,7 +774,16 @@ class Index:
             and self._ivf is not None
             and not self._ivf_dirty
         )
-        d, slots, scanned = self._search_prepared(q_rows, k, valid, use_ivf)
+        # Approximate per-tile top-k (TPU-binned) for big non-exact scans:
+        # mirrors the reference's approximate-by-default recall (~99%).
+        approx = (
+            not exact
+            and not use_ivf
+            and not self._is_set_index
+            and self._metric_fn is None
+            and self._count >= 131072
+        )
+        d, slots, scanned = self._search_prepared(q_rows, k, valid, use_ivf, approx)
 
         d, slots = jax.device_get((d, slots))  # ONE host round trip
         d = d[:n_q]
@@ -776,7 +830,9 @@ class Index:
             mask_np[live] = np.isin(self._slot_keys[live], allowed)
         return jnp.asarray(mask_np)
 
-    def _search_prepared(self, q_rows: np.ndarray, k: int, valid, use_ivf: bool):
+    def _search_prepared(
+        self, q_rows: np.ndarray, k: int, valid, use_ivf: bool, approx: bool = False
+    ):
         n_q = q_rows.shape[0]
         q_pad = pad_queries(n_q)
         if q_pad > n_q:
@@ -808,6 +864,7 @@ class Index:
             k,
             tile_rows,
             self._metric_fn,
+            approx,
         )
         return d, slots, self._count
 

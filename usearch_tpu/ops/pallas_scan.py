@@ -1,0 +1,178 @@
+"""Pallas fused distance + top-k scan kernel.
+
+The hot serving kernel: for each (query-tile, table-tile) grid cell it
+computes the MXU matmul, applies the metric epilogue, reduces each 128-lane
+bin to its min (the same binned-candidate scheme as `lax.approx_min_k`), and
+folds the winners into a per-query running top-k held in VMEM scratch.
+The [Q, N] score matrix NEVER reaches HBM — per-query output is just [Q, k].
+
+HBM traffic per search  =  read table once  +  tiny aux/in/out
+ → the kernel runs at memory speed-of-light for batched queries (the matmul
+   at these shapes is faster than the table read).
+
+Replaces, in one fused program, what the reference does with per-thread
+sorted buffers + SimSIMD microkernels (reference: include/usearch/index.hpp:
+845-956 sorted_buffer_gt; index_plugins.hpp:1678-2015 metric dispatch;
+index_plugins.hpp:2071-2164 exact_search_t).
+
+Approximation contract: one candidate per 128-wide bin per table tile —
+recall@k ≥ ~99.5% for k ≤ 16 at tile ≥ 2048 (validated in tests and bench),
+mirroring the reference's approximate-by-default recall (~99.3%@1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..enums import MetricKind, ScalarKind
+from .distances import MASKED
+
+DEFAULT_Q_TILE = 512
+DEFAULT_T_TILE = 2048
+_LANES = 128
+#: top-k capacity of the scratch buffer (one lane group)
+KPAD = 128
+
+
+def _epilogue(metric: MetricKind, dots, q_aux, t_aux):
+    """dots [QT, T] + per-query aux [2, QT] + per-row aux [4, T] → dists."""
+    t_sq = t_aux[0, :][None, :]
+    penalty = t_aux[2, :][None, :]
+    q_sq = q_aux[0, :][:, None]
+    if metric == MetricKind.IP:
+        d = 1.0 - dots
+    elif metric == MetricKind.Cos:
+        denom = jnp.sqrt(q_sq) * jnp.sqrt(t_sq)
+        safe = jnp.where(denom == 0.0, 1.0, denom)
+        base = 1.0 - dots / safe
+        one_zero = (q_sq == 0.0) ^ (t_sq == 0.0)
+        both_zero = (q_sq == 0.0) & (t_sq == 0.0)
+        d = jnp.where(both_zero, 0.0, jnp.where(one_zero, 1.0, base))
+    elif metric == MetricKind.L2sq:
+        d = jnp.maximum(q_sq + t_sq - 2.0 * dots, 0.0)
+    else:
+        raise ValueError(f"pallas scan supports ip/cos/l2sq, got {metric}")
+    return d + penalty
+
+
+def _make_kernel(metric: MetricKind, k: int, t_tile: int, n_t_tiles: int):
+    n_bins = t_tile // _LANES
+
+    def kernel(q_ref, q_aux_ref, tile_ref, t_aux_ref, out_d_ref, out_i_ref):
+        # The output blocks are revisited across the inner (table) grid axis —
+        # they double as the running top-k accumulators, no scratch needed.
+        ti = pl.program_id(1)
+
+        @pl.when(ti == 0)
+        def _init():
+            out_d_ref[:] = jnp.full_like(out_d_ref, MASKED)
+            out_i_ref[:] = jnp.full_like(out_i_ref, -1)
+
+        dots = jax.lax.dot_general(
+            q_ref[:],
+            tile_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d = _epilogue(metric, dots, q_aux_ref[:], t_aux_ref[:])
+
+        qt = d.shape[0]
+        r = d.reshape(qt, n_bins, _LANES)
+        bin_v = jnp.min(r, axis=-1)  # [QT, n_bins]
+        bin_a = jnp.argmin(r, axis=-1).astype(jnp.int32)
+        col_base = ti * t_tile + jax.lax.broadcasted_iota(jnp.int32, (qt, n_bins), 1) * _LANES
+        bin_i = col_base + bin_a
+
+        cand_v = jnp.concatenate([out_d_ref[:, :k], bin_v], axis=-1)  # [QT, k+n_bins]
+        cand_i = jnp.concatenate([out_i_ref[:, :k], bin_i], axis=-1)
+
+        # k-step selection: extract the min k times, masking each winner.
+        width = cand_v.shape[-1]
+        sel_v = []
+        sel_i = []
+        for _ in range(k):
+            m = jnp.min(cand_v, axis=-1, keepdims=True)  # [QT, 1]
+            am = jnp.argmin(cand_v, axis=-1)  # [QT]
+            onehot = jax.lax.broadcasted_iota(jnp.int32, (qt, width), 1) == am[:, None]
+            iv = jnp.sum(jnp.where(onehot, cand_i, 0), axis=-1)
+            sel_v.append(m[:, 0])
+            sel_i.append(iv)
+            cand_v = jnp.where(onehot, MASKED, cand_v)
+        out_d_ref[:, :k] = jnp.stack(sel_v, axis=-1)
+        out_i_ref[:, :k] = jnp.stack(sel_i, axis=-1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
+def pallas_search(
+    metric: MetricKind,
+    q: jnp.ndarray,          # [Q, D] storage dtype (bf16/f32/f16)
+    table: jnp.ndarray,      # [N, D] same dtype; N % t_tile == 0
+    stats: jnp.ndarray,      # [N, 2] f32 (sqnorm, sum)
+    valid: jnp.ndarray,      # [N] bool
+    k: int,
+    q_tile: int = DEFAULT_Q_TILE,
+    t_tile: int = DEFAULT_T_TILE,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused scan: returns (dists [Q, k] f32, row ids [Q, k] i32, -1 = none)."""
+    n, d_width = table.shape
+    n_q = q.shape[0]
+    assert n % t_tile == 0, (n, t_tile)
+    assert n_q % q_tile == 0, (n_q, q_tile)
+    assert k <= KPAD
+    n_t_tiles = n // t_tile
+    n_q_tiles = n_q // q_tile
+
+    # per-row aux [4, N]: (sqnorm, sum, penalty, 0) — lane-major layout
+    penalty = jnp.where(valid, 0.0, MASKED).astype(jnp.float32)
+    t_aux = jnp.stack(
+        [stats[:, 0], stats[:, 1], penalty, jnp.zeros_like(penalty)], axis=0
+    )
+    qf = q.astype(jnp.float32)
+    q_sq = jnp.sum(qf * qf, axis=1)
+    q_aux = jnp.stack([q_sq, jnp.sum(qf, axis=1)], axis=0)  # [2, Q]
+
+    kernel = _make_kernel(metric, k, t_tile, n_t_tiles)
+    grid = (n_q_tiles, n_t_tiles)
+
+    out_d, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q_tile, d_width), lambda qi, ti: (qi, 0)),
+            pl.BlockSpec((2, q_tile), lambda qi, ti: (0, qi)),
+            pl.BlockSpec((t_tile, d_width), lambda qi, ti: (ti, 0)),
+            pl.BlockSpec((4, t_tile), lambda qi, ti: (0, ti)),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_tile, KPAD), lambda qi, ti: (qi, 0)),
+            pl.BlockSpec((q_tile, KPAD), lambda qi, ti: (qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_q, KPAD), jnp.float32),
+            jax.ShapeDtypeStruct((n_q, KPAD), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q, q_aux, table, t_aux)
+
+    d_out = out_d[:, :k]
+    i_out = out_i[:, :k]
+    i_out = jnp.where(d_out >= MASKED / 2, -1, i_out)
+    return d_out, i_out
+
+
+def supports(metric: MetricKind, kind: ScalarKind) -> bool:
+    return metric in (MetricKind.IP, MetricKind.Cos, MetricKind.L2sq) and kind in (
+        ScalarKind.BF16,
+        ScalarKind.F32,
+        ScalarKind.F16,
+    )

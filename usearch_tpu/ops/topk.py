@@ -65,6 +65,7 @@ def scan_topk(
     tile_rows: int,
     ndim: int,
     metric_fn=None,
+    approx: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Tiled streaming search: [Q, D] against [N, D] → best-k per query.
 
@@ -72,6 +73,12 @@ def scan_topk(
     Sequential `lax.scan` over row tiles lets XLA pipeline the HBM reads of
     tile t+1 against the matmul of tile t. ``stats``/``valid`` are required
     (non-dot metrics may pass zeros for ``stats``).
+
+    ``approx=True`` reduces each tile with `lax.approx_min_k` — the TPU's
+    native binned top-k (one VPU min per 128-lane bin instead of a sorting
+    network) — before the cross-tile merge. Recall is ~99.5%+ for k≤16 at
+    these tile sizes, mirroring the reference's approximate default (HNSW
+    recall@1 ≈ 99%, BENCHMARKS.md:30); `exact=True` searches never use it.
     """
     n_rows = table.shape[0]
     assert n_rows % tile_rows == 0, (n_rows, tile_rows)
@@ -91,10 +98,15 @@ def scan_topk(
         tile, tile_stats, tile_valid, offset = xs
         d = tile_dists(metric, kind, q, q_stats, tile, tile_stats, ndim, metric_fn)
         d = jnp.where(tile_valid[None, :], d, MASKED)
-        ids = jnp.broadcast_to(
-            offset + jnp.arange(tile_rows, dtype=jnp.int32)[None, :], d.shape
-        )
-        best_d, best_i = merge_topk(best_d, best_i, d, ids, k)
+        if approx and tile_rows >= 4 * k * 128:
+            td, ti = jax.lax.approx_min_k(d, k, recall_target=0.99)
+            tids = ti.astype(jnp.int32) + offset
+            best_d, best_i = merge_topk(best_d, best_i, td, tids, k)
+        else:
+            ids = jnp.broadcast_to(
+                offset + jnp.arange(tile_rows, dtype=jnp.int32)[None, :], d.shape
+            )
+            best_d, best_i = merge_topk(best_d, best_i, d, ids, k)
         return (best_d, best_i), None
 
     xs = (tiles, stats_tiles, valid_tiles, offsets)
