@@ -311,3 +311,50 @@ def test_compact():
     # adds still work after compaction
     index.add(1000, vecs[0])
     assert index.search(vecs[0], 1).keys[0] == 1000
+
+
+def test_haversine_index():
+    """Geo index over (lat, lon) pairs (reference metric_haversine_gt)."""
+    index = Index(metric="haversine")  # ndim defaults to 2
+    assert index.ndim == 2
+    cities = np.array(
+        [[52.52, 13.405], [48.8566, 2.3522], [40.7128, -74.006], [35.6762, 139.6503]],
+        dtype=np.float32,
+    )  # Berlin, Paris, NYC, Tokyo
+    index.add(np.arange(4), cities)
+    m = index.search(np.array([50.1109, 8.6821], np.float32), 2)  # Frankfurt
+    assert set(m.keys[:2].tolist()) == {0, 1}  # Berlin & Paris nearest
+
+
+def test_divergence_index():
+    index = Index(ndim=16, metric="divergence", dtype="f32")
+    p = np.random.rand(20, 16).astype(np.float32)
+    p /= p.sum(axis=1, keepdims=True)
+    index.add(np.arange(20), p)
+    m = index.search(p[:3], 1)
+    np.testing.assert_array_equal(m.keys[:, 0], [0, 1, 2])
+
+
+def test_pearson_index():
+    index = Index(ndim=32, metric="pearson", dtype="f32")
+    v = np.random.rand(15, 32).astype(np.float32)
+    index.add(np.arange(15), v)
+    m = index.search(v[:3], 1)
+    np.testing.assert_array_equal(m.keys[:, 0], [0, 1, 2])
+    assert np.all(m.distances[:, 0] < 1e-4)
+
+
+def test_jaccard_set_index():
+    """Variable-length sorted-set vectors (reference cpp/test.cpp:909 test_sets)."""
+    index = Index(ndim=8, metric="jaccard")
+    sets = np.array(
+        [[1, 3, 5, 7, -1, -1, -1, -1],
+         [2, 4, 6, 8, 10, -1, -1, -1],
+         [1, 3, 5, 9, -1, -1, -1, -1]],
+        dtype=np.int32,
+    )
+    index.add(np.arange(3), sets)
+    m = index.search(np.array([1, 3, 5, 7, -1, -1, -1, -1], np.int32), 3)
+    assert m.keys[0] == 0
+    assert m.distances[0] < 1e-6
+    assert m.keys[1] == 2  # shares 3 of 5 union... closest non-exact

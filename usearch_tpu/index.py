@@ -209,6 +209,10 @@ class Index:
         return ScalarKind.I8 if self._is_set_index else self._dtype
 
     @property
+    def numpy_dtype(self):
+        return to_numpy_dtype(self.dtype)
+
+    @property
     def metric_kind(self) -> MetricKind:
         return self._metric_kind
 
@@ -362,7 +366,13 @@ class Index:
     # ------------------------------------------------------------------
 
     def reserve(self, capacity: int) -> None:
-        capacity = pad_rows(max(int(capacity), 1), ROW_TILE)
+        capacity = int(capacity)
+        if capacity > 64 * ROW_TILE:
+            # next power of two: big scan tiles (up to 64k rows) always divide
+            # the capacity, keeping the streaming top-k merge count low
+            capacity = 1 << (capacity - 1).bit_length()
+        else:
+            capacity = pad_rows(max(capacity, 1), ROW_TILE)
         if capacity <= self._capacity:
             return
         if self._table is None:
