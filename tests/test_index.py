@@ -358,3 +358,29 @@ def test_jaccard_set_index():
     assert m.keys[0] == 0
     assert m.distances[0] < 1e-6
     assert m.keys[1] == 2  # shares 3 of 5 union... closest non-exact
+
+
+def test_concurrent_search_threads():
+    """N threads searching one index concurrently (the reference's
+    multithreaded view-search test, test_index.py:313)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    index = Index(ndim=16, dtype="f32")
+    vecs = np.random.rand(200, 16).astype(np.float32)
+    index.add(np.arange(200), vecs)
+
+    def one(i):
+        m = index.search(vecs[i], 1)
+        return int(m.keys[0])
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        got = list(pool.map(one, range(64)))
+    assert got == list(range(64))
+
+
+def test_add_noncontiguous_input():
+    index = Index(ndim=8, dtype="f32")
+    vecs = np.random.rand(20, 8).astype(np.float32)
+    index.add(np.arange(10), vecs[::2])  # strided view
+    m = index.search(np.ascontiguousarray(vecs[4]), 1)
+    assert m.keys[0] == 2

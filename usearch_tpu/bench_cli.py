@@ -36,7 +36,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from . import Index
-    from .eval import Dataset, recall_at_k
+    from .eval import recall_at_k
     from .io import load_matrix
 
     if args.vectors:

@@ -9,7 +9,7 @@ string normalizers of python/usearch/index.py:98-180.
 from __future__ import annotations
 
 import enum
-from typing import Optional, Union
+from typing import Union
 
 import numpy as np
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,7 @@ import numpy as np
 from .enums import MetricKind, ScalarKind, normalize_dtype, normalize_metric, to_jax_dtype
 from .matches import BatchMatches
 from .ops.casts import cast_vectors
-from .ops.distances import MASKED, row_stats, tile_dists
+from .ops.distances import row_stats, tile_dists
 from .ops.topk import masked_topk, scan_topk
 
 #: Row-tile target in bytes for the streaming scan: big tiles amortize the

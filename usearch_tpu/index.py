@@ -54,19 +54,21 @@ from .exact import (
 )
 from .keymap import KeyMap
 from .matches import BatchMatches, Clustering, Key, Matches
-from .ops.casts import cast_from_i8_np, cast_vectors
-from .ops.distances import MASKED, pair_dists
+from .ops.casts import cast_vectors
+from .ops.distances import pair_dists
 from .ops.packbits import unpack_bits_np
 
 #: Capacity quantum — device arrays grow in multiples of this many rows.
 ROW_TILE = 1024
 
 
-@functools.partial(jax.jit, static_argnums=(5,))
+@functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1, 2))
 def _scatter_rows(table, stats, valid, slots, rows, kind):
     """Insert rows at ``slots``; padded entries carry an out-of-bounds slot
     (== capacity) and are dropped by JAX's scatter semantics. Row stats are
-    computed inside the same program: one dispatch per add batch."""
+    computed inside the same program: one dispatch per add batch. The table/
+    stats/valid buffers are DONATED — updates are in place, no copy of the
+    (possibly multi-GB) table per batch."""
     from .ops.distances import row_stats
 
     rstats = row_stats(rows, kind)
@@ -76,7 +78,7 @@ def _scatter_rows(table, stats, valid, slots, rows, kind):
     return table, stats, valid
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _invalidate_rows(valid, slots):
     return valid.at[slots].set(False)
 
@@ -724,9 +726,11 @@ class Index:
         )
         if self._capacity:
             other.reserve(self._capacity)
-            other._table = self._table
-            other._stats = self._stats
-            other._valid = self._valid
+            # deep device copies: the mutation kernels donate their buffers,
+            # so shared references would dangle after the next add/remove
+            other._table = jnp.copy(self._table)
+            other._stats = jnp.copy(self._stats)
+            other._valid = jnp.copy(self._valid)
             other._slot_keys = self._slot_keys.copy()
             other._keymap = self._keymap.copy()
             other._free_slots = list(self._free_slots)

@@ -11,7 +11,7 @@ parallel/sharded.py, which shards ONE table across chips instead.
 from __future__ import annotations
 
 import os
-from typing import Iterable, List, Optional
+from typing import Iterable, List
 
 import numpy as np
 

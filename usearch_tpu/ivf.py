@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,7 @@ import numpy as np
 
 from .enums import MetricKind, ScalarKind
 from .kmeans import kmeans_fit
-from .ops.distances import MASKED, dot_metric_dists
+from .ops.distances import MASKED
 
 _QUERY_CHUNK = 16
 

@@ -14,8 +14,6 @@ from typing import Dict
 
 import numpy as np
 
-from .matches import Key
-
 
 def join(men, women, max_proposals: int = 0, exact: bool = False) -> Dict[int, int]:
     """Returns a mapping from `men` keys to `women` keys. The smaller index

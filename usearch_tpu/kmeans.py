@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .enums import MetricKind, ScalarKind, normalize_dtype, normalize_metric
+from .enums import MetricKind, normalize_metric
 
 _ASSIGN_TILE = 16384
 

@@ -18,7 +18,6 @@ zero-denominator guards), validated in tests/test_distances.py against scipy.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

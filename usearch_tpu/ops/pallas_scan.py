@@ -27,9 +27,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from ..enums import MetricKind, ScalarKind
 from .distances import MASKED

@@ -32,11 +32,10 @@ from ..exact import (
     pad_rows,
     pick_tile_rows,
     prepare_rows,
-    storage_width,
 )
 from ..matches import BatchMatches
 from ..ops.distances import MASKED, row_stats, tile_dists
-from ..ops.topk import masked_topk, merge_topk, scan_topk
+from ..ops.topk import masked_topk, scan_topk
 from .mesh import SHARD_AXIS, make_mesh
 
 

@@ -20,12 +20,9 @@ Format v1 (little-endian):
 
 from __future__ import annotations
 
-import io
 import json
 import os
-from typing import Optional, Union
 
-import jax.numpy as jnp
 import numpy as np
 
 MAGIC = b"usearch_tpu\x00"
