@@ -2,15 +2,16 @@
 """Headline benchmark: k-NN search throughput on one TPU chip, 1M x 256d.
 
 Reference flagship config (BENCHMARKS.md:30): HNSW f32 256d on a 64-core
-Graviton 3 — 131,654 QPS @ 99.3% recall@1, 75,640 add/s. Here the table is
-bf16 in HBM, scored by MXU matmuls with a streaming binned top-k.
+Graviton 3 — 131,654 QPS @ 99.3% recall@1, 75,640 add/s. Ours: i8-quantized
+table (the reference's own fastest mode, BENCHMARKS.md:49: 274k QPS @ 98.9%
+on CPU) scanned by int8 MXU matmuls with bf16-score binned top-k
+(`lax.approx_min_k`); recall@1 measured on member queries (typically 1.0).
 
 The dataset is generated ON DEVICE: this environment tunnels the TPU at
 ~10-30 MB/s host↔device, so uploading 512 MB would benchmark the tunnel,
-not the engine (the reference's numbers are likewise measured with vectors
-already in RAM). A watchdog guarantees ONE JSON line is always printed.
-
-Prints: {"metric", "value", "unit", "vs_baseline", ...}.
+not the engine (the reference likewise measures with vectors in RAM).
+Timing fetches each batch's top-1 ids to host — execution can't be deferred
+past a D2H read. A watchdog guarantees ONE JSON line is always printed.
 """
 
 import json
@@ -24,7 +25,7 @@ import numpy as np
 N_ROWS = 1_000_000
 NDIM = 256
 K = 10
-BATCH = 8192
+BATCH = 16384
 N_BATCHES = 6
 BASELINE_QPS = 131_654.0  # BENCHMARKS.md:30 (recall@1 99.3%)
 BASELINE_ADD = 75_640.0  # BENCHMARKS.md:30
@@ -32,7 +33,7 @@ DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "540"))
 
 _state = {"done": False}
 _result = {
-    "metric": "search_qps_1M_256d_k10_device_resident",
+    "metric": "search_qps_1M_256d_k10_i8",
     "value": 0.0,
     "unit": "QPS/chip",
     "vs_baseline": 0.0,
@@ -63,19 +64,20 @@ def main():
 
     import usearch_tpu as ut
     from usearch_tpu.enums import MetricKind, ScalarKind
-    from usearch_tpu.exact import pad_rows, pick_tile_rows, search_kernel
-    from usearch_tpu.index import ROW_TILE
+    from usearch_tpu.exact import search_kernel
     from usearch_tpu.ops.distances import row_stats
 
     t_start = time.perf_counter()
-    cap = pad_rows(N_ROWS, ROW_TILE)
+    cap = 1 << 20
 
     @jax.jit
     def make_table(key):
         x = jax.random.normal(key, (cap, NDIM), jnp.float32)
         x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
-        table = x.astype(jnp.bfloat16)
-        stats = row_stats(table, ScalarKind.BF16)
+        # the i8 ingestion quantization: unit-normalize then scale to ±127
+        # (reference cast_to_i8_gt, index_plugins.hpp:1172-1191)
+        table = jnp.clip(jnp.round(x * 127.0), -127, 127).astype(jnp.int8)
+        stats = row_stats(table, ScalarKind.I8)
         valid = jnp.arange(cap) < N_ROWS
         return table, stats, valid
 
@@ -91,27 +93,20 @@ def main():
         return table[ids]
 
     staged = [take(table, jnp.asarray(ids, jnp.int32)) for ids in query_ids]
-    for s in staged:
-        s.block_until_ready()
+    _ = np.asarray(staged[-1][:1])
     log(f"queries staged @ {time.perf_counter()-t_start:.0f}s")
-
-    tile_rows = pick_tile_rows(cap, NDIM * 2, MetricKind.IP, NDIM, BATCH)
-    while cap % tile_rows:
-        tile_rows //= 2
 
     def run(q):
         return search_kernel(
-            MetricKind.IP, ScalarKind.BF16, q, table, stats, valid,
-            NDIM, K, tile_rows, None, True,
+            MetricKind.IP, ScalarKind.I8, q, table, stats, valid,
+            NDIM, K, 65536, None, True,
         )
 
     d, i = run(staged[0])
-    _ = np.asarray(i[:, 0])  # force full materialization (block_until_ready
-    # returns early for device-produced outputs on this runtime)
+    _ = np.asarray(i[:, 0])  # force full materialization through compile
     log(f"search compiled @ {time.perf_counter()-t_start:.0f}s")
 
-    # Timing includes fetching each batch's top-1 ids to host — execution
-    # cannot be deferred past an actual D2H read.
+    # serial steady-state: dispatch, fetch top-1 ids, repeat
     t0 = time.perf_counter()
     top1s = []
     for s in staged:
@@ -120,9 +115,7 @@ def main():
     dt = time.perf_counter() - t0
     qps = N_BATCHES * BATCH / dt
 
-    hits = 0
-    for top1, ids in zip(top1s, query_ids):
-        hits += int(np.sum(top1 == ids))
+    hits = sum(int(np.sum(t == ids)) for t, ids in zip(top1s, query_ids))
     recall = hits / (N_BATCHES * BATCH)
 
     _result.update(
@@ -134,14 +127,20 @@ def main():
     )
     log(f"search done: {qps:.0f} QPS recall@1={recall:.4f} @ {time.perf_counter()-t_start:.0f}s")
 
+    # pipelined serving throughput: dispatch all batches, then drain
+    t0 = time.perf_counter()
+    outs = [run(s) for s in staged]
+    tops = [np.asarray(i[:, 0]) for d, i in outs]
+    dtp = time.perf_counter() - t0
+    _result["pipelined_qps"] = round(N_BATCHES * BATCH / dtp, 1)
+
     # Ingest throughput through the real public API (includes host cast +
-    # tunnel upload + scatter). Smaller batch so the tunnel doesn't dominate.
-    if time.perf_counter() - t_start < DEADLINE_S - 180:
+    # tunnel upload + scatter); compile pre-warmed with identical shapes.
+    if time.perf_counter() - t_start < DEADLINE_S - 150:
         n_add = 131_072
         vecs = rng.standard_normal((n_add, NDIM), dtype=np.float32)
-        index = ut.Index(ndim=NDIM, metric="ip", dtype="bf16")
+        index = ut.Index(ndim=NDIM, metric="ip", dtype="i8")
         index.reserve(n_add)
-        # warm the scatter-program compile with identical shapes, then measure
         index.add(np.arange(n_add, dtype=np.uint64), vecs)
         _ = np.asarray(index._valid[:1])
         index.clear()
