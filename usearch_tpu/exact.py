@@ -181,8 +181,11 @@ def exact_search(
         q_np = prepare_rows(queries, input_kind_of(queries, None), kind, ndim)
 
     pad_value = -1 if metric == MetricKind.Jaccard else 0
-    row_tile = 8
-    n_pad = pad_rows(n_rows, row_tile)
+    if n_rows > 64 * 1024:
+        # power-of-two padding lets 64k-row scan tiles divide the table
+        n_pad = 1 << (n_rows - 1).bit_length()
+    else:
+        n_pad = pad_rows(n_rows, 8)
     if n_pad > table_np.shape[0]:
         table_np = np.concatenate(
             [table_np, np.full((n_pad - n_rows, table_np.shape[1]), pad_value, dtype=table_np.dtype)]

@@ -139,7 +139,10 @@ class ShardedIndex:
         n = vectors.shape[0]
         n_shards = mesh.shape[SHARD_AXIS]
         rows = prepare_rows(vectors, in_kind, kind, ndim)
-        n_pad = pad_rows(n, 8 * n_shards)
+        per_shard = pad_rows((n + n_shards - 1) // n_shards, 8)
+        if per_shard > 64 * 1024:
+            per_shard = 1 << (per_shard - 1).bit_length()  # pow2: tiles divide
+        n_pad = per_shard * n_shards
         if n_pad > n:
             rows = np.concatenate([rows, np.zeros((n_pad - n, rows.shape[1]), rows.dtype)])
         valid_np = np.arange(n_pad) < n
