@@ -70,21 +70,6 @@ def main():
     t_start = time.perf_counter()
     cap = 1 << 20
 
-    @jax.jit
-    def make_table(key):
-        x = jax.random.normal(key, (cap, NDIM), jnp.float32)
-        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
-        # the i8 ingestion quantization: unit-normalize then scale to ±127
-        # (reference cast_to_i8_gt, index_plugins.hpp:1172-1191)
-        table = jnp.clip(jnp.round(x * 127.0), -127, 127).astype(jnp.int8)
-        stats = row_stats(table, ScalarKind.I8)
-        valid = jnp.arange(cap) < N_ROWS
-        return table, stats, valid
-
-    table, stats, valid = make_table(jax.random.PRNGKey(0))
-    table.block_until_ready()
-    log(f"table built on device @ {time.perf_counter()-t_start:.0f}s")
-
     from usearch_tpu.ops.topk import scan_topk
 
     rng = np.random.default_rng(0)
@@ -94,13 +79,25 @@ def main():
     query_ids = np.stack([rng.integers(0, N_ROWS, BATCH) for _ in range(N_BATCHES)])
 
     @jax.jit
-    def take_all(table, ids):
-        return table[ids]  # [G, B, D]
+    def make_all(key, warm_ids, query_ids):
+        # table build + query staging in ONE program: every dispatch through
+        # this environment's tunnel risks a multi-minute stall
+        x = jax.random.normal(key, (cap, NDIM), jnp.float32)
+        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        # the i8 ingestion quantization: unit-normalize then scale to ±127
+        # (reference cast_to_i8_gt, index_plugins.hpp:1172-1191)
+        table = jnp.clip(jnp.round(x * 127.0), -127, 127).astype(jnp.int8)
+        stats = row_stats(table, ScalarKind.I8)
+        valid = jnp.arange(cap) < N_ROWS
+        return table, stats, valid, table[warm_ids], table[query_ids]
 
-    warm_staged = take_all(table, jnp.asarray(warm_ids, jnp.int32))
-    staged = take_all(table, jnp.asarray(query_ids, jnp.int32))
+    table, stats, valid, warm_staged, staged = make_all(
+        jax.random.PRNGKey(0),
+        jnp.asarray(warm_ids, jnp.int32),
+        jnp.asarray(query_ids, jnp.int32),
+    )
     _ = np.asarray(staged[0, :1])
-    log(f"queries staged @ {time.perf_counter()-t_start:.0f}s")
+    log(f"table + queries staged @ {time.perf_counter()-t_start:.0f}s")
 
     # The ENTIRE serving loop is one jitted program (lax.map over batches):
     # a single dispatch per measurement — the tunnel's ~30 ms per-dispatch
