@@ -73,3 +73,31 @@ def test_sharded_binary(rng):
     m = sharded.search(packed[:5], 1)
     np.testing.assert_array_equal(m.keys[:, 0], np.arange(5))
     assert np.all(m.distances[:, 0] == 0)
+
+
+def test_sharded_save_load_roundtrip(rng, tmp_path):
+    """Sharded on-disk format: manifest + per-shard files (SURVEY §5)."""
+    n, ndim = 500, 16
+    dataset = rng.standard_normal((n, ndim)).astype(np.float32)
+    keys = np.arange(n, dtype=np.uint64) + 7
+    mesh = make_mesh()
+    sharded = ShardedIndex.build(dataset, keys, metric=MetricKind.L2sq, mesh=mesh)
+
+    d = str(tmp_path / "pool")
+    sharded.save(d)
+    import json, os
+    manifest = json.load(open(os.path.join(d, "manifest.json")))
+    assert manifest["count"] == n
+    assert len(manifest["shards"]) == mesh.shape["shard"]
+
+    # single-chip Index can open one shard independently
+    from usearch_tpu import Index
+    one = Index.restore(os.path.join(d, manifest["shards"][0]))
+    assert len(one) > 0
+
+    loaded = ShardedIndex.load(d, mesh=mesh)
+    assert len(loaded) == n
+    m = loaded.search(dataset[:5], 3)
+    want = sharded.search(dataset[:5], 3)
+    np.testing.assert_array_equal(m.keys, want.keys)
+    np.testing.assert_allclose(m.distances, want.distances, atol=1e-5)

@@ -3,12 +3,12 @@
 The hot serving kernel: for each (query-tile, table-tile) grid cell it
 computes the MXU matmul, applies the metric epilogue, reduces each 128-lane
 bin to its min (the same binned-candidate scheme as `lax.approx_min_k`), and
-folds the winners into a per-query running top-k held in VMEM scratch.
-The [Q, N] score matrix NEVER reaches HBM — per-query output is just [Q, k].
+folds the winners into a per-query running top-k held in the revisited output
+block. The [Q, N] score matrix NEVER reaches HBM — at large Q that matrix's
+write+read round trip is what dominates the XLA scan path (e.g. 16384×1M
+bf16 scores = 64 GB of HBM traffic per batch).
 
-HBM traffic per search  =  read table once  +  tiny aux/in/out
- → the kernel runs at memory speed-of-light for batched queries (the matmul
-   at these shapes is faster than the table read).
+HBM traffic per search  =  read table once  +  tiny aux/in/out.
 
 Replaces, in one fused program, what the reference does with per-thread
 sorted buffers + SimSIMD microkernels (reference: include/usearch/index.hpp:
@@ -16,8 +16,8 @@ sorted buffers + SimSIMD microkernels (reference: include/usearch/index.hpp:
 index_plugins.hpp:2071-2164 exact_search_t).
 
 Approximation contract: one candidate per 128-wide bin per table tile —
-recall@k ≥ ~99.5% for k ≤ 16 at tile ≥ 2048 (validated in tests and bench),
-mirroring the reference's approximate-by-default recall (~99.3%@1).
+identical to `approx_min_k`'s binning; recall@k ≥ ~99.5% for k ≤ 16 at
+production table sizes (collision probability ≈ C(k,2)·128/N per query).
 """
 
 from __future__ import annotations
@@ -35,12 +35,13 @@ from .distances import MASKED
 DEFAULT_Q_TILE = 512
 DEFAULT_T_TILE = 2048
 _LANES = 128
-#: top-k capacity of the scratch buffer (one lane group)
+#: top-k capacity of the output accumulator (one lane group)
 KPAD = 128
 
 
 def _epilogue(metric: MetricKind, dots, q_aux, t_aux):
     """dots [QT, T] + per-query aux [2, QT] + per-row aux [4, T] → dists."""
+    dots = dots.astype(jnp.float32)
     t_sq = t_aux[0, :][None, :]
     penalty = t_aux[2, :][None, :]
     q_sq = q_aux[0, :][:, None]
@@ -73,20 +74,26 @@ def _make_kernel(metric: MetricKind, k: int, t_tile: int, n_t_tiles: int):
             out_d_ref[:] = jnp.full_like(out_d_ref, MASKED)
             out_i_ref[:] = jnp.full_like(out_i_ref, -1)
 
+        acc = jnp.int32 if q_ref.dtype == jnp.int8 else jnp.float32
         dots = jax.lax.dot_general(
             q_ref[:],
             tile_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc,
         )
         d = _epilogue(metric, dots, q_aux_ref[:], t_aux_ref[:])
-
         qt = d.shape[0]
-        r = d.reshape(qt, n_bins, _LANES)
-        bin_v = jnp.min(r, axis=-1)  # [QT, n_bins]
-        bin_a = jnp.argmin(r, axis=-1).astype(jnp.int32)
-        col_base = ti * t_tile + jax.lax.broadcasted_iota(jnp.int32, (qt, n_bins), 1) * _LANES
-        bin_i = col_base + bin_a
+
+        # Per-128-lane bin mins via static slices (a [qt, nb, 128] reshape
+        # forces a real relayout copy on TPU — slices don't).
+        bv_cols = []
+        ba_cols = []
+        for b in range(n_bins):
+            seg = d[:, b * _LANES : (b + 1) * _LANES]
+            bv_cols.append(jnp.min(seg, axis=-1))
+            ba_cols.append(jnp.argmin(seg, axis=-1).astype(jnp.int32) + b * _LANES)
+        bin_v = jnp.stack(bv_cols, axis=-1)  # [QT, n_bins]
+        bin_i = jnp.stack(ba_cols, axis=-1) + ti * t_tile
 
         cand_v = jnp.concatenate([out_d_ref[:, :k], bin_v], axis=-1)  # [QT, k+n_bins]
         cand_i = jnp.concatenate([out_i_ref[:, :k], bin_i], axis=-1)
@@ -112,7 +119,7 @@ def _make_kernel(metric: MetricKind, k: int, t_tile: int, n_t_tiles: int):
 @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
 def pallas_search(
     metric: MetricKind,
-    q: jnp.ndarray,          # [Q, D] storage dtype (bf16/f32/f16)
+    q: jnp.ndarray,          # [Q, D] storage dtype (bf16/f32/f16/i8)
     table: jnp.ndarray,      # [N, D] same dtype; N % t_tile == 0
     stats: jnp.ndarray,      # [N, 2] f32 (sqnorm, sum)
     valid: jnp.ndarray,      # [N] bool
@@ -173,4 +180,5 @@ def supports(metric: MetricKind, kind: ScalarKind) -> bool:
         ScalarKind.BF16,
         ScalarKind.F32,
         ScalarKind.F16,
+        ScalarKind.I8,
     )

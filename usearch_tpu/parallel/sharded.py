@@ -171,6 +171,64 @@ class ShardedIndex:
             rows = rows[:, : index.ndim]
         return ShardedIndex.build(rows, keys, metric=index._metric_kind, mesh=mesh)
 
+    def save(self, directory) -> None:
+        """Sharded on-disk format: ``manifest.json`` + one vector file per
+        shard (the layout SURVEY §5 calls for — streamable shard-by-shard).
+        Each shard file is a standalone usearch_tpu index, so single-chip
+        `Index.restore` can open any shard independently."""
+        import json
+        import os
+
+        from ..index import Index
+
+        os.makedirs(directory, exist_ok=True)
+        n_shards = self.mesh.shape[SHARD_AXIS]
+        rows_per = self._table.shape[0] // n_shards
+        table_np = np.asarray(jax.device_get(self._table))
+        valid_np = np.asarray(jax.device_get(self._valid))
+        shard_files = []
+        for s in range(n_shards):
+            lo, hi = s * rows_per, (s + 1) * rows_per
+            live = np.nonzero(valid_np[lo:hi])[0]
+            shard = Index(
+                ndim=self.ndim,
+                metric=self.metric,
+                dtype=self.kind,
+            )
+            if len(live):
+                rows = table_np[lo:hi][live]
+                if self.kind == ScalarKind.B1:
+                    rows = rows[:, : (self.ndim + 7) // 8].astype(np.uint8)
+                else:
+                    rows = rows[:, : self.ndim]
+                shard.add(self._keys[lo:hi][live], rows)
+            fname = f"shard-{s:05d}.usearch"
+            shard.save(os.path.join(directory, fname))
+            shard_files.append(fname)
+        manifest = {
+            "format": "usearch_tpu.sharded",
+            "version": 1,
+            "metric": self.metric.value,
+            "dtype": self.kind.value,
+            "ndim": self.ndim,
+            "count": self._count,
+            "shards": shard_files,
+        }
+        with open(os.path.join(directory, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+
+    @staticmethod
+    def load(directory, *, mesh: Optional[Mesh] = None) -> "ShardedIndex":
+        """Open a sharded directory written by `save` (reads the manifest and
+        mounts every shard across the mesh)."""
+        import json
+        import os
+
+        with open(os.path.join(directory, "manifest.json")) as f:
+            manifest = json.load(f)
+        paths = [os.path.join(directory, s) for s in manifest["shards"]]
+        return ShardedIndex.mount(paths, mesh=mesh)
+
     @staticmethod
     def mount(paths, *, mesh: Optional[Mesh] = None) -> "ShardedIndex":
         """Mount N saved index files as one mesh view (the `Indexes`
