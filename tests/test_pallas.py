@@ -57,5 +57,20 @@ def test_pallas_respects_mask(rng):
 
 def test_supports():
     assert supports(MetricKind.IP, ScalarKind.BF16)
+    assert supports(MetricKind.IP, ScalarKind.I8)
     assert not supports(MetricKind.Hamming, ScalarKind.B1)
-    assert not supports(MetricKind.IP, ScalarKind.I8)
+
+
+def test_pallas_i8(rng):
+    n, d, q_n, k = 8192, 128, 256, 4
+    table = jnp.asarray(
+        rng.integers(-100, 100, (n, d)), jnp.int8
+    )
+    q = table[:q_n]
+    stats = row_stats(table, ScalarKind.I8)
+    valid = jnp.ones((n,), bool)
+    got_d, got_i = pallas_search(
+        MetricKind.L2sq, q, table, stats, valid, k, q_tile=256, t_tile=2048, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got_i[:, 0]), np.arange(q_n))
+    np.testing.assert_allclose(np.asarray(got_d[:, 0]), 0.0, atol=1e-5)
