@@ -74,3 +74,40 @@ def test_pallas_i8(rng):
     )
     np.testing.assert_array_equal(np.asarray(got_i[:, 0]), np.arange(q_n))
     np.testing.assert_allclose(np.asarray(got_d[:, 0]), 0.0, atol=1e-5)
+
+
+def test_pallas_dma_variant_matches(rng):
+    from usearch_tpu.ops.pallas_scan import pallas_search_dma
+
+    n, d, q_n, k = 16384, 128, 256, 8
+    table = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((q_n, d)), jnp.float32)
+    stats = row_stats(table, ScalarKind.F32)
+    valid = jnp.ones((n,), bool)
+
+    a = pallas_search(
+        MetricKind.L2sq, q, table, stats, valid, k, q_tile=256, t_tile=2048, interpret=True
+    )
+    b = pallas_search_dma(
+        MetricKind.L2sq, q, table, stats, valid, k,
+        q_tile=256, t_tile=2048, merge_every=2, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), rtol=1e-6)
+
+
+def test_pallas_dma_respects_mask(rng):
+    from usearch_tpu.ops.pallas_scan import pallas_search_dma
+
+    n, d, q_n, k = 8192, 128, 256, 4
+    table = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    q = table[:q_n]
+    stats = row_stats(table, ScalarKind.F32)
+    valid = jnp.asarray(np.arange(n) % 2 == 0)
+    got_d, got_i = pallas_search_dma(
+        MetricKind.L2sq, q, table, stats, valid, k,
+        q_tile=256, t_tile=2048, merge_every=2, interpret=True,
+    )
+    ids = np.asarray(got_i)
+    assert np.all(ids[ids >= 0] % 2 == 0)
+    np.testing.assert_array_equal(ids[::2, 0], np.arange(0, q_n, 2))

@@ -175,6 +175,169 @@ def pallas_search(
     return d_out, i_out
 
 
+def _make_dma_kernel(metric: MetricKind, k: int, t_tile: int, n_t_tiles: int, merge_every: int):
+    """1-D-grid kernel: one grid cell per query tile; the table streams
+    through a double-buffered VMEM window via explicit DMA (the guide's
+    pipeline pattern). Amortizes per-cell overhead over the whole table and
+    merges candidates only every `merge_every` tiles."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert merge_every % 2 == 0 or merge_every == 1, "even merge_every keeps DMA slots static"
+    assert n_t_tiles % merge_every == 0, (n_t_tiles, merge_every)
+    n_bins = t_tile // _LANES
+    group_bins = n_bins * merge_every
+    n_groups = n_t_tiles // merge_every
+
+    def kernel(q_ref, q_aux_ref, table_ref, t_aux_ref, out_d_ref, out_i_ref,
+               tbuf, abuf, sems):
+        qt = q_ref.shape[0]
+
+        def table_dma(slot, idx):
+            return pltpu.make_async_copy(
+                table_ref.at[pl.ds(idx * t_tile, t_tile), :],
+                tbuf.at[slot],
+                sems.at[slot, 0],
+            )
+
+        def aux_dma(slot, idx):
+            return pltpu.make_async_copy(
+                t_aux_ref.at[:, pl.ds(idx * t_tile, t_tile)],
+                abuf.at[slot],
+                sems.at[slot, 1],
+            )
+
+        table_dma(0, 0).start()
+        aux_dma(0, 0).start()
+
+        out_d_ref[:] = jnp.full_like(out_d_ref, MASKED)
+        out_i_ref[:] = jnp.full_like(out_i_ref, -1)
+
+        # Outer loop over tile groups; the group body is unrolled so DMA
+        # buffer slots and bin columns are static (merge_every even ⇒
+        # (g*merge_every + j) % 2 == j % 2).
+        def group(gi, _):
+            base_tile = gi * merge_every
+            bv_cols = []
+            bi_cols = []
+            for j in range(merge_every):
+                slot = j % 2
+                nxt_slot = (j + 1) % 2
+                ti = base_tile + j
+
+                @pl.when(ti + 1 < n_t_tiles)
+                def _prefetch():
+                    table_dma(nxt_slot, ti + 1).start()
+                    aux_dma(nxt_slot, ti + 1).start()
+
+                table_dma(slot, ti).wait()
+                aux_dma(slot, ti).wait()
+
+                dots = jax.lax.dot_general(
+                    q_ref[:],
+                    tbuf[slot],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                d = _epilogue(metric, dots, q_aux_ref[:], abuf[slot])
+                base_col = ti * t_tile
+                for b in range(n_bins):
+                    seg = d[:, b * _LANES : (b + 1) * _LANES]
+                    bv_cols.append(jnp.min(seg, axis=-1))
+                    bi_cols.append(
+                        jnp.argmin(seg, axis=-1).astype(jnp.int32)
+                        + base_col
+                        + b * _LANES
+                    )
+
+            bin_v = jnp.stack(bv_cols, axis=-1)  # [QT, group_bins]
+            bin_i = jnp.stack(bi_cols, axis=-1)
+            cand_v = jnp.concatenate([out_d_ref[:, :k], bin_v], axis=-1)
+            cand_i = jnp.concatenate([out_i_ref[:, :k], bin_i], axis=-1)
+            width = cand_v.shape[-1]
+            sel_v = []
+            sel_i = []
+            for _ in range(k):
+                m = jnp.min(cand_v, axis=-1, keepdims=True)
+                am = jnp.argmin(cand_v, axis=-1)
+                onehot = (
+                    jax.lax.broadcasted_iota(jnp.int32, (qt, width), 1) == am[:, None]
+                )
+                iv = jnp.sum(jnp.where(onehot, cand_i, 0), axis=-1)
+                sel_v.append(m[:, 0])
+                sel_i.append(iv)
+                cand_v = jnp.where(onehot, MASKED, cand_v)
+            out_d_ref[:, :k] = jnp.stack(sel_v, axis=-1)
+            out_i_ref[:, :k] = jnp.stack(sel_i, axis=-1)
+            return 0
+
+        jax.lax.fori_loop(0, n_groups, group, 0)
+
+    return kernel, group_bins
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
+def pallas_search_dma(
+    metric: MetricKind,
+    q: jnp.ndarray,
+    table: jnp.ndarray,
+    stats: jnp.ndarray,
+    valid: jnp.ndarray,
+    k: int,
+    q_tile: int = DEFAULT_Q_TILE,
+    t_tile: int = DEFAULT_T_TILE,
+    merge_every: int = 8,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Double-buffered streaming variant of `pallas_search`: same results,
+    table DMA'd tile-by-tile inside the kernel so the grid has only Q/q_tile
+    cells and candidate merges run once per `merge_every` tiles."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d_width = table.shape
+    n_q = q.shape[0]
+    assert n % t_tile == 0 and n_q % q_tile == 0 and k <= KPAD
+    n_t_tiles = n // t_tile
+
+    penalty = jnp.where(valid, 0.0, MASKED).astype(jnp.float32)
+    t_aux = jnp.stack(
+        [stats[:, 0], stats[:, 1], penalty, jnp.zeros_like(penalty)], axis=0
+    )
+    qf = q.astype(jnp.float32)
+    q_aux = jnp.stack([jnp.sum(qf * qf, axis=1), jnp.sum(qf, axis=1)], axis=0)
+
+    kernel, group_bins = _make_dma_kernel(metric, k, t_tile, n_t_tiles, merge_every)
+    grid = (n_q // q_tile,)
+
+    out_d, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q_tile, d_width), lambda qi: (qi, 0)),
+            pl.BlockSpec((2, q_tile), lambda qi: (0, qi)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # table stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # t_aux stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((q_tile, KPAD), lambda qi: (qi, 0)),
+            pl.BlockSpec((q_tile, KPAD), lambda qi: (qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_q, KPAD), jnp.float32),
+            jax.ShapeDtypeStruct((n_q, KPAD), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, t_tile, d_width), table.dtype),
+            pltpu.VMEM((2, 4, t_tile), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(q, q_aux, table, t_aux)
+
+    d_out = out_d[:, :k]
+    i_out = jnp.where(d_out >= MASKED / 2, -1, out_i[:, :k])
+    return d_out, i_out
+
+
 def supports(metric: MetricKind, kind: ScalarKind) -> bool:
     return metric in (MetricKind.IP, MetricKind.Cos, MetricKind.L2sq) and kind in (
         ScalarKind.BF16,
