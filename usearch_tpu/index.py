@@ -263,8 +263,10 @@ class Index:
 
     @property
     def hardware_acceleration(self) -> str:
+        """Accelerator name (the reference reports the chosen SIMD ISA,
+        index_plugins.hpp:1827-1851; ours is the XLA device kind)."""
         dev = jax.devices()[0]
-        return dev.platform
+        return getattr(dev, "device_kind", dev.platform)
 
     @property
     def memory_usage(self) -> int:

@@ -220,8 +220,13 @@ def _make_dma_kernel(metric: MetricKind, k: int, t_tile: int, n_t_tiles: int, me
             bv_cols = []
             bi_cols = []
             for j in range(merge_every):
-                slot = j % 2
-                nxt_slot = (j + 1) % 2
+                if merge_every == 1:
+                    # slot parity follows the (traced) group index
+                    slot = jax.lax.rem(gi, 2)
+                    nxt_slot = jax.lax.rem(gi + 1, 2)
+                else:
+                    slot = j % 2
+                    nxt_slot = (j + 1) % 2
                 ti = base_tile + j
 
                 @pl.when(ti + 1 < n_t_tiles)
