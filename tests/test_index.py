@@ -384,3 +384,35 @@ def test_add_noncontiguous_input():
     index.add(np.arange(10), vecs[::2])  # strided view
     m = index.search(np.ascontiguousarray(vecs[4]), 1)
     assert m.keys[0] == 2
+
+
+def test_concurrent_upserts_stress():
+    """N threads doing conflicting upserts + searches (the reference's
+    test_punned_concurrent_updates, cpp/test.cpp:603)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    index = Index(ndim=8, dtype="f32")
+    base = np.random.rand(64, 8).astype(np.float32)
+    index.add(np.arange(64), base)
+
+    def upsert(i):
+        key = i % 16
+        for _ in range(5):
+            try:
+                index.remove(key)
+                index.add(key, base[key])
+            except KeyError:
+                pass  # another thread re-added first — acceptable conflict
+            m = index.search(base[key], 3)
+            assert len(m) >= 1
+        return True
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(upsert, range(32)))
+    assert all(results)
+    # every key still resolvable; table consistent
+    assert len(index) <= 64
+    for key in range(16):
+        if index.contains(key):
+            got = index.get(key)
+            assert got is not None

@@ -24,6 +24,7 @@ from __future__ import annotations
 import functools
 import math
 import os
+import threading
 from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple, Union
 
 import jax
@@ -86,6 +87,82 @@ def _invalidate_rows(valid, slots):
 @jax.jit
 def _gather_rows(table, slots):
     return table[slots]
+
+
+class _RWLock:
+    """Reader/writer lock — the role of the reference's userspace
+    `unfair_shared_mutex_t` (index_plugins.hpp:1018-1091): searches share,
+    mutations are exclusive (donated device buffers must not be freed while
+    a reader still holds them). Writer is reentrant for nested mutations."""
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer_owner = None
+        self._writer_depth = 0
+
+    def acquire_read(self):
+        me = threading.get_ident()
+        with self._cond:
+            if self._writer_owner == me:
+                return  # the mutating thread may read its own state
+            while self._writer_owner is not None:
+                self._cond.wait()
+            self._readers += 1
+
+    def release_read(self):
+        with self._cond:
+            if self._writer_owner == threading.get_ident():
+                return
+            self._readers -= 1
+            if self._readers == 0:
+                self._cond.notify_all()
+
+    def acquire_write(self):
+        me = threading.get_ident()
+        with self._cond:
+            if self._writer_owner == me:
+                self._writer_depth += 1
+                return
+            while self._writer_owner is not None or self._readers:
+                self._cond.wait()
+            self._writer_owner = me
+            self._writer_depth = 1
+
+    def release_write(self):
+        with self._cond:
+            self._writer_depth -= 1
+            if self._writer_depth == 0:
+                self._writer_owner = None
+                self._cond.notify_all()
+
+
+def _reads(fn):
+    """Shared-access decorator for Index read paths."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        self._rwlock.acquire_read()
+        try:
+            return fn(self, *args, **kwargs)
+        finally:
+            self._rwlock.release_read()
+
+    return wrapper
+
+
+def _mutates(fn):
+    """Exclusive-access decorator for Index mutation paths."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        self._rwlock.acquire_write()
+        try:
+            return fn(self, *args, **kwargs)
+        finally:
+            self._rwlock.release_write()
+
+    return wrapper
 
 
 class IndexStats:
@@ -179,6 +256,10 @@ class Index:
 
         self._visited_members = 0
         self._computed_distances = 0
+        # load() re-runs __init__ on a live object; keep the original lock
+        # (the loading thread holds it as writer).
+        if not hasattr(self, "_rwlock"):
+            self._rwlock = _RWLock()
         self._path = None
         self._viewed = False
         self._ivf = None  # lazily-built partitioned scan (ivf.IVFPartitions)
@@ -428,6 +509,7 @@ class Index:
             )
         return prepare_rows(vectors, in_kind, self._dtype, self._ndim)
 
+    @_mutates
     def add(
         self,
         keys,
@@ -541,6 +623,7 @@ class Index:
             return self._keymap.count_many(np.asarray(keys, dtype=np.uint64))
         return self._keymap.count(int(keys))
 
+    @_reads
     def get(
         self,
         keys,
@@ -588,6 +671,7 @@ class Index:
     def __getitem__(self, keys):
         return self.get(keys)
 
+    @_mutates
     def remove(
         self,
         keys,
@@ -623,6 +707,7 @@ class Index:
     def __delitem__(self, keys):
         return self.remove(keys)
 
+    @_mutates
     def rename(self, from_: int, to: int) -> Union[bool, int]:
         """Relabel a key in place — a pure host-side keymap move
         (reference: index_dense.hpp:1567-1592)."""
@@ -641,6 +726,7 @@ class Index:
         self._slot_keys[np.asarray(slots)] = np.uint64(to)
         return True
 
+    @_mutates
     def clear(self) -> None:
         """Erase vectors, keep settings and capacity."""
         if self._capacity:
@@ -652,6 +738,7 @@ class Index:
         self._ivf = None
         self._ivf_dirty = True
 
+    @_mutates
     def reset(self) -> None:
         """Erase everything including device buffers."""
         self._table = None
@@ -671,6 +758,7 @@ class Index:
     def __del__(self):  # pragma: no cover
         pass
 
+    @_mutates
     def compact(self) -> int:
         """Defragment: pack live rows to the front and drop free slots.
 
@@ -746,6 +834,7 @@ class Index:
     # Search
     # ------------------------------------------------------------------
 
+    @_reads
     def search(
         self,
         vectors,
@@ -888,6 +977,7 @@ class Index:
     # Pairwise distances
     # ------------------------------------------------------------------
 
+    @_reads
     def pairwise_distance(self, left, right) -> Union[np.ndarray, float]:
         single = np.isscalar(left) or isinstance(left, (int, np.integer))
         left_np = np.atleast_1d(np.asarray(left, dtype=np.uint64))
@@ -915,6 +1005,7 @@ class Index:
     # IVF / clustering / persistence hooks (implemented in sibling modules)
     # ------------------------------------------------------------------
 
+    @_mutates
     def optimize(self, n_partitions: Optional[int] = None) -> None:
         """Build the IVF partitioned-scan structure (the ANN replacement for
         the HNSW graph). Subsequent non-exact searches probe
@@ -960,6 +1051,7 @@ class Index:
 
     # Persistence -------------------------------------------------------
 
+    @_reads
     def save(self, path_or_buffer=None, progress=None):
         from .persist import save_index, save_index_to_buffer
 
@@ -972,6 +1064,7 @@ class Index:
         save_index(self, str(path_or_buffer))
         self._path = str(path_or_buffer)
 
+    @_mutates
     def load(self, path_or_buffer=None, progress=None):
         from .persist import load_index_from_buffer, load_index_into
 
@@ -983,6 +1076,7 @@ class Index:
             load_index_into(self, str(path_or_buffer), view=False)
             self._path = str(path_or_buffer)
 
+    @_mutates
     def view(self, path_or_buffer=None, progress=None):
         from .persist import load_index_from_buffer, load_index_into
 
