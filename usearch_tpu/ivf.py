@@ -3,11 +3,16 @@ traversal (reference: include/usearch/index.hpp:1981-4319).
 
 A k-means coarse quantizer (kmeans.py, mirroring kmeans_clustering_gt)
 partitions table rows. A query scores all centroids (one small matmul),
-probes the best `nprobe` partitions, gathers their rows, and runs the fused
-distance + top-k over candidates only. The probe budget maps from
-`expansion_search` the way `ef` bounds the HNSW beam: candidate rows scanned
-≈ expansion_search × connectivity, matching the reference's distance budget
-at equal recall targets (BENCHMARKS.md ef sweeps).
+probes the best `nprobe` partitions, and runs the fused distance + top-k over
+candidates only. The probe budget maps from `expansion_search` the way `ef`
+bounds the HNSW beam: candidate rows scanned ≈ expansion_search ×
+connectivity, matching the reference's distance budget at equal recall
+targets (BENCHMARKS.md ef sweeps).
+
+Layout: `optimize()` builds a PARTITION-CONTIGUOUS copy of the live rows
+([C, P, D], cluster-major — the locality the reference's `compact` chases,
+index.hpp:3590-3682). Probing then gathers whole [P, D] blocks (long
+contiguous DMA reads) instead of scattered single rows.
 """
 
 from __future__ import annotations
@@ -24,16 +29,18 @@ from .enums import MetricKind, ScalarKind
 from .kmeans import kmeans_fit
 from .ops.distances import MASKED
 
-_QUERY_CHUNK = 16
+_QUERY_CHUNK = 256
 
 
 class IVFPartitions:
     """Built partition structure over an Index's device table."""
 
-    def __init__(self, centroids, part_rows, avg_rows_per_part, built_count):
-        self.centroids = centroids          # jnp [C, D] f32 (padded width)
-        self.part_rows = part_rows          # jnp [C, P] int32, -1 padding
-        self.avg_rows_per_part = avg_rows_per_part
+    def __init__(self, centroids, part_table, part_stats, part_slots, avg_rows, built_count):
+        self.centroids = centroids        # jnp [C, D] f32 (padded width)
+        self.part_table = part_table      # jnp [C, P, D] storage dtype, cluster-major
+        self.part_stats = part_stats      # jnp [C, P, 2] f32; padding rows = +MASKED penalty in [, , 0]? no: stats; padding handled via part_slots
+        self.part_slots = part_slots      # jnp [C, P] i32 global slot ids, -1 padding
+        self.avg_rows_per_part = avg_rows
         self.built_count = built_count
 
     @staticmethod
@@ -41,11 +48,11 @@ class IVFPartitions:
         live = index._live_slots()
         n = len(live)
         if n_partitions is None:
-            # √N-ish partitioning, ≥1 rows per partition target of ~4·√N
+            # √N-ish partitioning: probe cost ~ nprobe·√N rows
             n_partitions = max(1, int(math.sqrt(n)))
         n_partitions = min(n_partitions, n)
 
-        rows = np.asarray(index._table)[live].astype(np.float32)[:, : index._width]
+        rows = np.asarray(index._table)[live].astype(np.float32)
         assigns, _, centroids = kmeans_fit(
             rows,
             n_partitions,
@@ -57,8 +64,10 @@ class IVFPartitions:
         )
         c = centroids.shape[0]
         counts = np.bincount(assigns, minlength=c)
-        p_max = max(int(counts.max()), 1)
-        part = np.full((c, p_max), -1, dtype=np.int32)
+        p_max = max(int(counts.max()), 8)
+        p_max = ((p_max + 7) // 8) * 8  # sublane-align partition depth
+
+        part_slots = np.full((c, p_max), -1, dtype=np.int32)
         order = np.argsort(assigns, kind="stable")
         sorted_assigns = assigns[order]
         sorted_slots = live[order].astype(np.int32)
@@ -66,21 +75,30 @@ class IVFPartitions:
         ends = np.searchsorted(sorted_assigns, np.arange(c), side="right")
         for ci in range(c):
             members = sorted_slots[starts[ci] : ends[ci]]
-            part[ci, : len(members)] = members
+            part_slots[ci, : len(members)] = members
+
+        # Partition-contiguous copies: rows/stats materialized cluster-major.
+        slots_dev = jnp.asarray(part_slots)
+        safe = jnp.maximum(slots_dev, 0)
+        part_table = index._table[safe]            # [C, P, D]
+        part_stats = index._stats[safe]            # [C, P, 2]
+
         return IVFPartitions(
             centroids=jnp.asarray(centroids),
-            part_rows=jnp.asarray(part),
-            avg_rows_per_part=max(n / c, 1.0),
+            part_table=part_table,
+            part_stats=part_stats,
+            part_slots=slots_dev,
+            avg_rows=max(n / c, 1.0),
             built_count=n,
         )
 
     def nprobe_for(self, expansion_search: int, connectivity: int = 16) -> int:
         budget = max(expansion_search, 1) * max(connectivity, 1)
-        c = int(self.part_rows.shape[0])
+        c = int(self.part_slots.shape[0])
         return int(np.clip(math.ceil(budget / self.avg_rows_per_part), 1, c))
 
     def scanned_rows(self, expansion_search: int, connectivity: int = 16) -> int:
-        return int(self.nprobe_for(expansion_search, connectivity) * self.part_rows.shape[1])
+        return int(self.nprobe_for(expansion_search, connectivity) * self.part_slots.shape[1])
 
     def search(self, index, q, valid, k: int, expansion_search: int):
         nprobe = self.nprobe_for(expansion_search, index._connectivity)
@@ -88,11 +106,11 @@ class IVFPartitions:
             index._metric_kind,
             index._dtype,
             q,
-            index._table,
-            index._stats,
             valid,
             self.centroids,
-            self.part_rows,
+            self.part_table,
+            self.part_stats,
+            self.part_slots,
             index._ndim,
             k,
             nprobe,
@@ -103,24 +121,23 @@ class IVFPartitions:
 def _ivf_probe_search(
     metric: MetricKind,
     kind: ScalarKind,
-    q,
-    table,
-    stats,
-    valid,
-    centroids,
-    part_rows,
+    q,                # [Q, D] storage dtype
+    valid,            # [cap] bool (deletions since build)
+    centroids,        # [C, D] f32
+    part_table,       # [C, P, D]
+    part_stats,       # [C, P, 2]
+    part_slots,       # [C, P] i32
     ndim: int,
     k: int,
     nprobe: int,
 ):
-    """Probe `nprobe` partitions per query and top-k the gathered candidates.
-
-    Queries are processed in fixed chunks via lax.map so the gathered
-    [chunk, nprobe*P, D] candidate tensor stays bounded.
-    """
+    """Probe `nprobe` partitions per query; candidates arrive as whole
+    partition blocks (contiguous reads). Queries run in fixed chunks so the
+    [chunk, nprobe, P, D] gather stays bounded."""
     from .ops.distances import row_stats
 
     n_q = q.shape[0]
+    p = part_table.shape[1]
     q_stats = row_stats(q, kind)
     qf = q.astype(jnp.float32)
 
@@ -129,13 +146,18 @@ def _ivf_probe_search(
     )
     if metric == MetricKind.L2sq:
         c_sq = jnp.sum(centroids * centroids, axis=1)
-        q_sq = jnp.sum(qf * qf, axis=1, keepdims=True)
-        cdist = q_sq + c_sq[None, :] - 2.0 * dots
+        q_sq0 = jnp.sum(qf * qf, axis=1, keepdims=True)
+        cdist = q_sq0 + c_sq[None, :] - 2.0 * dots
     else:
         cdist = -dots
     _, probes = jax.lax.top_k(-cdist, nprobe)  # [Q, nprobe]
 
-    chunk = min(_QUERY_CHUNK, n_q)
+    # chunk size bounded so the gathered [chunk, nprobe*P, D] tensor stays
+    # within a fixed HBM budget
+    row_bytes = part_table.shape[-1] * part_table.dtype.itemsize + 12
+    budget = 128 * 1024 * 1024
+    chunk = int(np.clip(budget // max(nprobe * p * row_bytes, 1), 8, _QUERY_CHUNK))
+    chunk = min(chunk, n_q)
     n_chunks = (n_q + chunk - 1) // chunk
     pad = n_chunks * chunk - n_q
     if pad:
@@ -149,27 +171,22 @@ def _ivf_probe_search(
 
     def one_chunk(args):
         qc, qsc, prc = args
-        cand = part_rows[prc].reshape(chunk, -1)      # [chunk, R] slot ids, -1 pad
-        safe = jnp.maximum(cand, 0)
-        rows = table[safe]                            # [chunk, R, D]
-        rstats = stats[safe]                          # [chunk, R, 2]
-        ok = (cand >= 0) & valid[safe]
+        # block gather: [chunk, nprobe, P, ...] — contiguous [P, D] reads
+        rows = part_table[prc].reshape(chunk, nprobe * p, -1)
+        rstats = part_stats[prc].reshape(chunk, nprobe * p, 2)
+        cand = part_slots[prc].reshape(chunk, nprobe * p)
+        ok = (cand >= 0) & valid[jnp.maximum(cand, 0)]
 
         if kind == ScalarKind.I8:
             d_ = jnp.einsum(
                 "qd,qrd->qr", qc.astype(jnp.int32), rows.astype(jnp.int32)
             ).astype(jnp.float32)
         elif qc.dtype == jnp.float32:
-            d_ = jnp.einsum(
-                "qd,qrd->qr", qc, rows, precision=jax.lax.Precision.HIGHEST
-            )
+            d_ = jnp.einsum("qd,qrd->qr", qc, rows, precision=jax.lax.Precision.HIGHEST)
         else:
-            d_ = jnp.einsum(
-                "qd,qrd->qr", qc, rows, preferred_element_type=jnp.float32
-            )
-        # epilogue over gathered stats
+            d_ = jnp.einsum("qd,qrd->qr", qc, rows, preferred_element_type=jnp.float32)
         q_sq, q_sum = qsc[:, 0], qsc[:, 1]
-        t_sq, t_sum = rstats[..., 0], rstats[..., 1]
+        t_sq = rstats[..., 0]
         d_ = d_.astype(jnp.float32)
         if metric == MetricKind.IP:
             dist = 1.0 - d_
@@ -183,12 +200,13 @@ def _ivf_probe_search(
         else:  # L2sq
             dist = jnp.maximum(q_sq[:, None] + t_sq - 2.0 * d_, 0.0)
         dist = jnp.where(ok, dist, MASKED)
-        neg, sel = jax.lax.top_k(-dist, min(k, dist.shape[1]))
+        kk = min(k, dist.shape[1])
+        neg, sel = jax.lax.top_k(-dist, kk)
         ids = jnp.take_along_axis(cand, sel, axis=1)
         d_out = -neg
         ids = jnp.where(d_out >= MASKED / 2, -1, ids)
-        if k > d_out.shape[1]:
-            extra = k - d_out.shape[1]
+        if k > kk:
+            extra = k - kk
             d_out = jnp.concatenate([d_out, jnp.full((chunk, extra), MASKED)], axis=1)
             ids = jnp.concatenate([ids, jnp.full((chunk, extra), -1, jnp.int32)], axis=1)
         return d_out, ids
