@@ -52,7 +52,8 @@ class IVFPartitions:
             n_partitions = max(1, int(math.sqrt(n)))
         n_partitions = min(n_partitions, n)
 
-        rows = np.asarray(index._table)[live].astype(np.float32)
+        # device-resident rows: no table round trip through the host
+        rows = index._table[jnp.asarray(live)].astype(jnp.float32)
         assigns, _, centroids = kmeans_fit(
             rows,
             n_partitions,

@@ -130,28 +130,37 @@ def kmeans_fit(
     seed: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Lloyd's algorithm on TPU. Returns (assignments i32 [N],
-    distances f32 [N], centroids f32 [k, D])."""
-    points = np.ascontiguousarray(np.atleast_2d(points), dtype=np.float32)
-    n, d = points.shape
+    distances f32 [N], centroids f32 [k, D]).
+
+    ``points`` may be a device array (jnp) — it then NEVER round-trips to
+    host, which matters when the table already lives in HBM (IVF builds)."""
+    if isinstance(points, jnp.ndarray):
+        points_dev = points.astype(jnp.float32)
+    else:
+        points_dev = jnp.asarray(
+            np.ascontiguousarray(np.atleast_2d(points), dtype=np.float32)
+        )
+    n, d = points_dev.shape
     k = int(min(k, n))
     rng = np.random.default_rng(seed)
 
     if k <= _KMEANSPP_MAX_K:
         jkey = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
-        centroids = _kmeanspp_init(jnp.asarray(points), jkey, k)
+        centroids = _kmeanspp_init(points_dev, jkey, k)
     else:
         init_rows = rng.choice(n, size=k, replace=False)
-        centroids = jnp.asarray(points[init_rows], dtype=jnp.float32)
+        centroids = points_dev[jnp.asarray(init_rows)]
 
     tile_rows = min(_ASSIGN_TILE, max(n, 1))
     n_pad = ((n + tile_rows - 1) // tile_rows) * tile_rows
     if n_pad > n:
         # pad with copies of row 0; padded rows are sliced away from results
         # but DO enter centroid sums — compensate by subtracting them below.
-        pts_pad = np.concatenate([points, np.tile(points[:1], (n_pad - n, 1))])
+        pts_dev = jnp.concatenate(
+            [points_dev, jnp.broadcast_to(points_dev[:1], (n_pad - n, d))]
+        )
     else:
-        pts_pad = points
-    pts_dev = jnp.asarray(pts_pad)
+        pts_dev = points_dev
 
     last_inertia = np.inf
     started = time.monotonic()
