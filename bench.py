@@ -64,7 +64,6 @@ def main():
 
     import usearch_tpu as ut
     from usearch_tpu.enums import MetricKind, ScalarKind
-    from usearch_tpu.exact import search_kernel
     from usearch_tpu.ops.distances import row_stats
 
     t_start = time.perf_counter()

@@ -28,8 +28,6 @@ from .ops.topk import masked_topk, scan_topk
 #: Row-tile target in bytes for the streaming scan: big tiles amortize the
 #: per-step merge/top-k cost; XLA tiles the inner matmul into VMEM itself.
 _TILE_BYTES = 32 * 1024 * 1024
-#: Above this many rows the scan path replaces the single-shot path.
-_SINGLE_SHOT_MAX_ROWS = 65536
 #: Broadcast metrics ([Q, T, D] intermediates) cap the tile element count.
 _BROADCAST_TILE_ELEMS = 16 * 1024 * 1024
 
