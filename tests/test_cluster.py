@@ -106,3 +106,24 @@ def test_ivf_respects_deletions(rng):
     index.optimize(n_partitions=8)  # rebuild after delete
     m = index.search(X[7], 3)
     assert 7 not in m.keys
+
+
+def test_hierarchical_kmeans(rng):
+    """Two-level k-means for large-k coarse quantizers (100M-scale IVF)."""
+    from usearch_tpu.kmeans import kmeans_hierarchical
+
+    X = _blobs(rng, 100, 6, 8, spread=0.1)
+    assigns, dists, cents = kmeans_hierarchical(X, 12, seed=0, sample=400)
+    assert cents.shape[1] == 8
+    assert 6 <= cents.shape[0] <= 16
+    assert assigns.shape == (600,)
+    assert not np.any(np.isnan(dists))
+    # blob members overwhelmingly share a cluster
+    purity = np.mean(
+        [np.bincount(assigns[i * 100 : (i + 1) * 100]).max() / 100 for i in range(6)]
+    )
+    assert purity > 0.9
+    # assignments reference real centroids and distances match
+    own = cents[assigns]
+    want = np.sum((X - own) ** 2, axis=1)
+    np.testing.assert_allclose(dists, want, rtol=1e-3, atol=1e-3)

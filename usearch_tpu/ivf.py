@@ -54,15 +54,23 @@ class IVFPartitions:
 
         # device-resident rows: no table round trip through the host
         rows = index._table[jnp.asarray(live)].astype(jnp.float32)
-        assigns, _, centroids = kmeans_fit(
-            rows,
-            n_partitions,
-            metric=index._metric_kind
+        km_metric = (
+            index._metric_kind
             if index._metric_kind in (MetricKind.Cos, MetricKind.IP, MetricKind.L2sq)
-            else MetricKind.L2sq,
-            max_iterations=25,
-            seed=0,
+            else MetricKind.L2sq
         )
+        if n_partitions > 4096:
+            # flat Lloyd's is ∝ N·k·D per iteration — infeasible at the
+            # 100M-row / 30k-partition scale; two-level fit is ~√k cheaper
+            from .kmeans import kmeans_hierarchical
+
+            assigns, _, centroids = kmeans_hierarchical(
+                rows, n_partitions, metric=km_metric, max_iterations=25, seed=0
+            )
+        else:
+            assigns, _, centroids = kmeans_fit(
+                rows, n_partitions, metric=km_metric, max_iterations=25, seed=0
+            )
         c = centroids.shape[0]
         counts = np.bincount(assigns, minlength=c)
         p_max = max(int(counts.max()), 8)

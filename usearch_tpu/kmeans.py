@@ -15,6 +15,7 @@ Metric-aware normalization: mean for L2, unit-norm for cosine
 from __future__ import annotations
 
 import functools
+import math
 import time
 from typing import Optional, Tuple
 
@@ -151,7 +152,10 @@ def kmeans_fit(
         init_rows = rng.choice(n, size=k, replace=False)
         centroids = points_dev[jnp.asarray(init_rows)]
 
-    tile_rows = min(_ASSIGN_TILE, max(n, 1))
+    # power-of-two tiling buckets the compiled shapes (hierarchical builds
+    # run MANY sub-k-means of varying sizes — unbucketed shapes would
+    # recompile per sub-cluster)
+    tile_rows = min(_ASSIGN_TILE, max(8, 1 << (n - 1).bit_length()))
     n_pad = ((n + tile_rows - 1) // tile_rows) * tile_rows
     if n_pad > n:
         # pad with copies of row 0; padded rows are sliced away from results
@@ -199,6 +203,92 @@ def kmeans_fit(
         np.asarray(assigns[:n], dtype=np.int64),
         np.asarray(dists[:n], dtype=np.float32),
         np.asarray(centroids, dtype=np.float32),
+    )
+
+
+def kmeans_hierarchical(
+    points,
+    k: int,
+    *,
+    metric: MetricKind = MetricKind.L2sq,
+    sample: int = 1 << 20,
+    max_iterations: int = 25,
+    seed: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Two-level k-means for large k / large N — the coarse-quantizer trainer
+    for IVF at 100M+ rows, where flat Lloyd's (cost ∝ N·k·D per iteration)
+    is infeasible (e.g. 100M rows × 30k centroids ≈ 7.7e17 FLOP/iter).
+
+    Level 1 fits √k coarse centroids on a row sample; every point is assigned
+    once; level 2 fits k/√k sub-centroids inside each coarse cluster. Total
+    assignment cost ∝ N·(√k + k/√k)·D — ~100× cheaper at k = 30k.
+
+    Returns (assignments i32 [N] into the FLAT centroid list,
+    distances f32 [N], centroids f32 [k_actual, D])."""
+    if isinstance(points, jnp.ndarray):
+        pts = points.astype(jnp.float32)
+    else:
+        pts = jnp.asarray(np.ascontiguousarray(np.atleast_2d(points), dtype=np.float32))
+    n, d = pts.shape
+    k = int(min(k, n))
+    rng = np.random.default_rng(seed)
+
+    k1 = max(1, int(math.ceil(math.sqrt(k))))
+    k2 = max(1, int(math.ceil(k / k1)))
+
+    # level 1 on a sample
+    if n > sample:
+        sel = jnp.asarray(rng.choice(n, size=sample, replace=False))
+        train = pts[sel]
+    else:
+        train = pts
+    _, _, coarse = kmeans_fit(
+        train, k1, metric=metric, max_iterations=max_iterations, seed=seed
+    )
+    coarse_dev = jnp.asarray(coarse)
+    tile = min(_ASSIGN_TILE, max(n, 1))
+    n_pad = ((n + tile - 1) // tile) * tile
+    pts_pad = (
+        jnp.concatenate([pts, jnp.broadcast_to(pts[:1], (n_pad - n, d))])
+        if n_pad > n
+        else pts
+    )
+    coarse_assign, _, _, _ = _assign_step(metric, pts_pad, coarse_dev, tile)
+    coarse_assign = np.asarray(coarse_assign[:n])
+
+    centroids_out = []
+    assigns = np.zeros(n, dtype=np.int64)
+    for c in range(coarse_dev.shape[0]):
+        members = np.nonzero(coarse_assign == c)[0]
+        if len(members) == 0:
+            continue
+        sub_k = min(k2, len(members))
+        sub_assign, _, sub_cents = kmeans_fit(
+            pts[jnp.asarray(members)],
+            sub_k,
+            metric=metric,
+            max_iterations=max_iterations,
+            seed=seed,
+        )
+        base = sum(x.shape[0] for x in centroids_out)
+        assigns[members] = sub_assign + base
+        centroids_out.append(sub_cents)
+
+    centroids = np.concatenate(centroids_out) if centroids_out else np.zeros((0, d), np.float32)
+    # distances to the assigned centroid
+    cents_dev = jnp.asarray(centroids)
+    own = cents_dev[jnp.asarray(assigns)]
+    if metric in (MetricKind.Cos, MetricKind.IP):
+        pn = jnp.linalg.norm(pts, axis=1)
+        cn = jnp.linalg.norm(own, axis=1)
+        denom = jnp.where(pn * cn == 0, 1.0, pn * cn)
+        dists = 1.0 - jnp.sum(pts * own, axis=1) / denom
+    else:
+        dists = jnp.sum((pts - own) ** 2, axis=1)
+    return (
+        assigns,
+        np.asarray(dists, dtype=np.float32),
+        centroids.astype(np.float32),
     )
 
 
