@@ -119,6 +119,43 @@ def _kmeanspp_init(points, key, k: int):
 _KMEANSPP_MAX_K = 4096
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _lloyd_fused(
+    metric: MetricKind, pts, centroids, iters: int, tile_rows: int, n_valid: int
+):
+    """Fixed-count Lloyd's iterations in ONE program (lax.scan): no host
+    sync per iteration — on remote-dispatch environments each sync costs a
+    full RPC round trip. Empty clusters reseed at pseudo-random points."""
+    n_pad = pts.shape[0]
+    k = centroids.shape[0]
+
+    def one_iter(cents, it):
+        assigns, dists, sums, counts = _assign_body(metric, pts, cents, tile_rows)
+        if n_valid < n_pad:
+            # padded rows are copies of row 0 — remove their contribution
+            pad_assign = assigns[n_valid]
+            pad_count = jnp.float32(n_pad - n_valid)
+            sums = sums.at[pad_assign].add(-pts[0].astype(jnp.float32) * pad_count)
+            counts = counts.at[pad_assign].add(-pad_count)
+        cents2, _ = _update_centroids(metric, sums, counts, cents)
+        # reseed empties at hashed rows (varies per iteration)
+        ridx = (
+            jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0] * 1103515245
+            + it * 40503
+        ) % n_valid
+        cents2 = jnp.where(counts[:, None] == 0, pts[ridx], cents2)
+        return cents2, None
+
+    centroids, _ = jax.lax.scan(one_iter, centroids, jnp.arange(iters))
+    assigns, dists, _, _ = _assign_body(metric, pts, centroids, tile_rows)
+    return assigns, dists, centroids
+
+
+def _assign_body(metric, points, centroids, tile_rows):
+    """Traceable core of `_assign_step` (shared by the fused loop)."""
+    return _assign_step.__wrapped__(metric, points, centroids, tile_rows)
+
+
 def kmeans_fit(
     points: np.ndarray,
     k: int,
@@ -129,12 +166,16 @@ def kmeans_fit(
     max_seconds: float = 60.0,
     min_shift: float = 0.01,
     seed: Optional[int] = None,
+    fused: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Lloyd's algorithm on TPU. Returns (assignments i32 [N],
     distances f32 [N], centroids f32 [k, D]).
 
     ``points`` may be a device array (jnp) — it then NEVER round-trips to
-    host, which matters when the table already lives in HBM (IVF builds)."""
+    host, which matters when the table already lives in HBM (IVF builds).
+    ``fused=True`` runs exactly ``max_iterations`` Lloyd steps inside one
+    jitted program (no early exits, no per-iteration host sync) — the right
+    mode for the many sub-fits of a hierarchical build."""
     if isinstance(points, jnp.ndarray):
         points_dev = points.astype(jnp.float32)
     else:
@@ -165,6 +206,16 @@ def kmeans_fit(
         )
     else:
         pts_dev = points_dev
+
+    if fused:
+        assigns, dists, centroids = _lloyd_fused(
+            metric, pts_dev, centroids, int(max_iterations), tile_rows, n
+        )
+        return (
+            np.asarray(assigns[:n], dtype=np.int64),
+            np.asarray(dists[:n], dtype=np.float32),
+            np.asarray(centroids, dtype=np.float32),
+        )
 
     last_inertia = np.inf
     started = time.monotonic()
@@ -243,7 +294,7 @@ def kmeans_hierarchical(
     else:
         train = pts
     _, _, coarse = kmeans_fit(
-        train, k1, metric=metric, max_iterations=max_iterations, seed=seed
+        train, k1, metric=metric, max_iterations=max_iterations, seed=seed, fused=True
     )
     coarse_dev = jnp.asarray(coarse)
     tile = min(_ASSIGN_TILE, max(n, 1))
@@ -269,6 +320,7 @@ def kmeans_hierarchical(
             metric=metric,
             max_iterations=max_iterations,
             seed=seed,
+            fused=True,
         )
         base = sum(x.shape[0] for x in centroids_out)
         assigns[members] = sub_assign + base
