@@ -61,10 +61,21 @@ class Indexes:
         best_k = np.zeros((n_q, count), dtype=np.uint64)
         best_valid = np.zeros((n_q, count), dtype=bool)
 
-        for shard in self._shards:
-            if len(shard) == 0:
-                continue
-            m = shard.search(queries, count, exact=exact)
+        # fan out across shards on threads (dispatches overlap), merge after —
+        # the reference's executor fan-out over `Indexes` (python/lib.cpp:330-520)
+        live_shards = [s for s in self._shards if len(s)]
+        if threads != 1 and len(live_shards) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = min(len(live_shards), threads or 8)
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                results = list(
+                    pool.map(lambda s: s.search(queries, count, exact=exact), live_shards)
+                )
+        else:
+            results = [s.search(queries, count, exact=exact) for s in live_shards]
+
+        for m in results:
             k_here = m.keys.shape[1]
             d = np.full((n_q, k_here), np.inf, dtype=np.float32)
             v = np.zeros((n_q, k_here), dtype=bool)
