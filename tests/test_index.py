@@ -416,3 +416,17 @@ def test_concurrent_upserts_stress():
         if index.contains(key):
             got = index.get(key)
             assert got is not None
+
+
+@pytest.mark.parametrize("input_dtype", [np.float64, np.float16])
+def test_input_dtype_variants(input_dtype):
+    """f64/f16 numpy inputs auto-cast on ingest and at query time
+    (reference test_index.py parametrizes dtype the same way)."""
+    reset_randomness()
+    index = Index(ndim=24, metric="cos", dtype="f32")
+    vectors = random_vectors(count=30, ndim=24, metric=MetricKind.IP).astype(input_dtype)
+    index.add(np.arange(30), vectors)
+    got = np.vstack(index.get(np.arange(30)))
+    assert np.allclose(got.astype(np.float64), vectors.astype(np.float64), atol=0.01)
+    m = index.search(vectors[:5], 1)
+    np.testing.assert_array_equal(m.keys[:, 0], np.arange(5))
