@@ -38,7 +38,13 @@ def cluster_index(
         )
         return Clustering(index, empty, np.zeros(0, np.uint64))
 
-    member_rows = index._fetch_all_f32()
+    # device-resident member rows: k-means consumes them without a host
+    # round trip (the table may be many GB behind a slow link)
+    import jax.numpy as jnp
+
+    live = index._live_slots()
+    member_rows_dev = index._table[jnp.asarray(live)].astype(jnp.float32)
+    member_rows = None  # host copy only materialized if needed below
 
     lo = int(min_count) if min_count else 2
     hi = int(max_count) if max_count else max(lo, int(math.sqrt(n)))
@@ -48,7 +54,7 @@ def cluster_index(
     metric = index._metric_kind
     if metric not in (MetricKind.Cos, MetricKind.IP, MetricKind.L2sq):
         metric = MetricKind.L2sq
-    assigns, dists, centroids = kmeans_fit(member_rows, k, metric=metric, seed=0)
+    assigns, dists, centroids = kmeans_fit(member_rows_dev, k, metric=metric, seed=0)
 
     # Each centroid is labeled by its nearest member's key (the reference's
     # clusters are real nodes at an upper level, index_dense.hpp:1830-1860).
@@ -56,6 +62,8 @@ def cluster_index(
     for ci in range(centroids.shape[0]):
         members = np.nonzero(assigns == ci)[0]
         if len(members) == 0:
+            if member_rows is None:
+                member_rows = np.asarray(member_rows_dev)
             diffs = member_rows - centroids[ci][None, :]
             nearest = int(np.argmin(np.sum(diffs * diffs, axis=1)))
             centroid_keys[ci] = member_keys[nearest]
