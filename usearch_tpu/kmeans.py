@@ -186,13 +186,6 @@ def kmeans_fit(
     k = int(min(k, n))
     rng = np.random.default_rng(seed)
 
-    if k <= _KMEANSPP_MAX_K:
-        jkey = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
-        centroids = _kmeanspp_init(points_dev, jkey, k)
-    else:
-        init_rows = rng.choice(n, size=k, replace=False)
-        centroids = points_dev[jnp.asarray(init_rows)]
-
     # power-of-two tiling buckets the compiled shapes (hierarchical builds
     # run MANY sub-k-means of varying sizes — unbucketed shapes would
     # recompile per sub-cluster)
@@ -206,6 +199,14 @@ def kmeans_fit(
         )
     else:
         pts_dev = points_dev
+
+    if k <= _KMEANSPP_MAX_K:
+        jkey = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
+        # seed on the PADDED points: one compiled ++ program per size bucket
+        centroids = _kmeanspp_init(pts_dev, jkey, k)
+    else:
+        init_rows = rng.choice(n, size=k, replace=False)
+        centroids = points_dev[jnp.asarray(init_rows)]
 
     if fused:
         assigns, dists, centroids = _lloyd_fused(
@@ -314,14 +315,20 @@ def kmeans_hierarchical(
         if len(members) == 0:
             continue
         sub_k = min(k2, len(members))
-        sub_assign, _, sub_cents = kmeans_fit(
-            pts[jnp.asarray(members)],
-            sub_k,
-            metric=metric,
-            max_iterations=max_iterations,
-            seed=seed,
-            fused=True,
-        )
+        if len(members) <= k2:
+            # each member is its own centroid: exact, and no compiled
+            # program variants for tiny odd-sized clusters
+            sub_assign = np.arange(len(members), dtype=np.int64)
+            sub_cents = np.asarray(pts[jnp.asarray(members)], dtype=np.float32)
+        else:
+            sub_assign, _, sub_cents = kmeans_fit(
+                pts[jnp.asarray(members)],
+                sub_k,
+                metric=metric,
+                max_iterations=max_iterations,
+                seed=seed,
+                fused=True,
+            )
         base = sum(x.shape[0] for x in centroids_out)
         assigns[members] = sub_assign + base
         centroids_out.append(sub_cents)
