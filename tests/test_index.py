@@ -430,3 +430,14 @@ def test_input_dtype_variants(input_dtype):
     assert np.allclose(got.astype(np.float64), vectors.astype(np.float64), atol=0.01)
     m = index.search(vectors[:5], 1)
     np.testing.assert_array_equal(m.keys[:, 0], np.arange(5))
+
+
+def test_remove_with_compact():
+    index = Index(ndim=8, dtype="f32")
+    vecs = np.random.rand(20, 8).astype(np.float32)
+    index.add(np.arange(20), vecs)
+    index.remove(np.arange(0, 20, 2), compact=True)
+    assert len(index) == 10
+    assert len(index._free_slots) == 0  # compacted
+    m = index.search(vecs[1], 1)
+    assert m.keys[0] == 1

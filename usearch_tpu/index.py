@@ -700,6 +700,8 @@ class Index:
             self._free_slots.extend(all_slots)
             self._count -= len(all_slots)
             self._ivf_dirty = True
+        if compact and all_slots:
+            self.compact()
         if single:
             return int(counts[0])
         return counts
