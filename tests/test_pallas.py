@@ -111,3 +111,27 @@ def test_pallas_dma_respects_mask(rng):
     ids = np.asarray(got_i)
     assert np.all(ids[ids >= 0] % 2 == 0)
     np.testing.assert_array_equal(ids[::2, 0], np.arange(0, q_n, 2))
+
+
+def test_pallas_binned_variant(rng):
+    from usearch_tpu.ops.pallas_scan import pallas_search_binned
+
+    n, d, q_n, k = 16384, 128, 256, 8
+    table = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((q_n, d)), jnp.float32)
+    stats = row_stats(table, ScalarKind.F32)
+    valid = jnp.ones((n,), bool)
+
+    a = pallas_search(
+        MetricKind.IP, q, table, stats, valid, k, q_tile=256, t_tile=2048, interpret=True
+    )
+    b = pallas_search_binned(
+        MetricKind.IP, q, table, stats, valid, k, q_tile=256, t_tile=2048, interpret=True
+    )
+    # same binning -> same candidate set; top-1 identical
+    np.testing.assert_array_equal(np.asarray(a[1][:, 0]), np.asarray(b[1][:, 0]))
+    hits = sum(
+        len(set(np.asarray(a[1][i]).tolist()) & set(np.asarray(b[1][i]).tolist()))
+        for i in range(q_n)
+    )
+    assert hits / (q_n * k) > 0.99

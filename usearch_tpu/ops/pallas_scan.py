@@ -343,6 +343,93 @@ def pallas_search_dma(
     return d_out, i_out
 
 
+def _make_binned_kernel(metric: MetricKind, t_tile: int):
+    """Merge-free cell: matmul + epilogue + per-128-lane bin min, written to
+    the cell's own output slice exactly once. No accumulator revisits, no
+    in-kernel selection — the cross-bin top-k runs OUTSIDE on the tiny
+    [Q, N/128] surface."""
+    n_bins = t_tile // _LANES
+
+    def kernel(q_ref, q_aux_ref, tile_ref, t_aux_ref, out_v_ref, out_i_ref):
+        ti = pl.program_id(1)
+        acc = jnp.int32 if q_ref.dtype == jnp.int8 else jnp.float32
+        dots = jax.lax.dot_general(
+            q_ref[:],
+            tile_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=acc,
+        )
+        d = _epilogue(metric, dots, q_aux_ref[:], t_aux_ref[:])
+        bv = []
+        bi = []
+        for b in range(n_bins):
+            seg = d[:, b * _LANES : (b + 1) * _LANES]
+            bv.append(jnp.min(seg, axis=-1))
+            bi.append(jnp.argmin(seg, axis=-1).astype(jnp.int32) + b * _LANES)
+        out_v_ref[:] = jnp.stack(bv, axis=-1)
+        out_i_ref[:] = jnp.stack(bi, axis=-1) + ti * t_tile
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
+def pallas_search_binned(
+    metric: MetricKind,
+    q: jnp.ndarray,
+    table: jnp.ndarray,
+    stats: jnp.ndarray,
+    valid: jnp.ndarray,
+    k: int,
+    q_tile: int = DEFAULT_Q_TILE,
+    t_tile: int = 4096,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused scan, merge-free variant: the kernel emits per-bin minima
+    [Q, N/128] (128× smaller than the score matrix) and one `approx_min_k`
+    outside selects the global top-k. Same binned-approximation contract as
+    `lax.approx_min_k`."""
+    n, d_width = table.shape
+    n_q = q.shape[0]
+    assert n % t_tile == 0 and n_q % q_tile == 0
+    n_t_tiles = n // t_tile
+    n_q_tiles = n_q // q_tile
+    n_bins = t_tile // _LANES
+    total_bins = n // _LANES
+
+    penalty = jnp.where(valid, 0.0, MASKED).astype(jnp.float32)
+    t_aux = jnp.stack(
+        [stats[:, 0], stats[:, 1], penalty, jnp.zeros_like(penalty)], axis=0
+    )
+    qf = q.astype(jnp.float32)
+    q_aux = jnp.stack([jnp.sum(qf * qf, axis=1), jnp.sum(qf, axis=1)], axis=0)
+
+    kernel = _make_binned_kernel(metric, t_tile)
+    out_v, out_i = pl.pallas_call(
+        kernel,
+        grid=(n_q_tiles, n_t_tiles),
+        in_specs=[
+            pl.BlockSpec((q_tile, d_width), lambda qi, ti: (qi, 0)),
+            pl.BlockSpec((2, q_tile), lambda qi, ti: (0, qi)),
+            pl.BlockSpec((t_tile, d_width), lambda qi, ti: (ti, 0)),
+            pl.BlockSpec((4, t_tile), lambda qi, ti: (0, ti)),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_tile, n_bins), lambda qi, ti: (qi, ti)),
+            pl.BlockSpec((q_tile, n_bins), lambda qi, ti: (qi, ti)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_q, total_bins), jnp.float32),
+            jax.ShapeDtypeStruct((n_q, total_bins), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q, q_aux, table, t_aux)
+
+    d_sel, sel = jax.lax.approx_min_k(out_v, k)
+    i_sel = jnp.take_along_axis(out_i, sel.astype(jnp.int32), axis=1)
+    i_sel = jnp.where(d_sel >= MASKED / 2, -1, i_sel)
+    return d_sel, i_sel
+
+
 def supports(metric: MetricKind, kind: ScalarKind) -> bool:
     return metric in (MetricKind.IP, MetricKind.Cos, MetricKind.L2sq) and kind in (
         ScalarKind.BF16,
