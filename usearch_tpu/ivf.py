@@ -73,17 +73,33 @@ class IVFPartitions:
             )
         c = centroids.shape[0]
         counts = np.bincount(assigns, minlength=c)
-        p_max = max(int(counts.max()), 8)
+        # Cap partition depth at 4x the average: a skewed cluster would
+        # otherwise inflate the [C, P, D] cluster-major layout (memory ∝
+        # P_max). Oversized clusters split into chunks that share the same
+        # centroid — ties in the centroid scores keep the chunks adjacent in
+        # the probe ranking.
+        avg = max(int(np.ceil(n / max(c, 1))), 1)
+        p_cap = ((4 * avg + 7) // 8) * 8
+        p_max = min(max(int(counts.max()), 8), p_cap)
         p_max = ((p_max + 7) // 8) * 8  # sublane-align partition depth
 
-        part_slots = np.full((c, p_max), -1, dtype=np.int32)
         order = np.argsort(assigns, kind="stable")
         sorted_assigns = assigns[order]
         sorted_slots = live[order].astype(np.int32)
         starts = np.searchsorted(sorted_assigns, np.arange(c))
         ends = np.searchsorted(sorted_assigns, np.arange(c), side="right")
+
+        chunk_rows = []
+        chunk_centroids = []
         for ci in range(c):
             members = sorted_slots[starts[ci] : ends[ci]]
+            for off in range(0, max(len(members), 1), p_max):
+                chunk_rows.append(members[off : off + p_max])
+                chunk_centroids.append(centroids[ci])
+        c = len(chunk_rows)
+        centroids = np.stack(chunk_centroids)
+        part_slots = np.full((c, p_max), -1, dtype=np.int32)
+        for ci, members in enumerate(chunk_rows):
             part_slots[ci, : len(members)] = members
 
         # Partition-contiguous copies: rows/stats materialized cluster-major.
