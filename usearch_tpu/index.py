@@ -806,6 +806,7 @@ class Index:
         self._ivf_dirty = True
         return self._count
 
+    @_reads
     def copy(self) -> "Index":
         other = Index(
             ndim=self._ndim,
@@ -855,8 +856,6 @@ class Index:
         vectors = np.asarray(vectors)
         single = vectors.ndim == 1
         if self._count == 0 or self._table is None:
-            empty_d = np.zeros((0 if single else max(vectors.shape[0], 1), 0), np.float32)
-            empty_k = np.zeros_like(empty_d, dtype=np.uint64)
             if single:
                 return Matches(keys=np.zeros(0, np.uint64), distances=np.zeros(0, np.float32))
             nq = vectors.shape[0]
