@@ -64,3 +64,23 @@ def test_udf_metric_ranking_differs_from_builtin(rng):
     m = index.search(q, 3)
     assert m.keys[0] == 4
     assert set(m.keys.tolist()) == {4, 5, 3}
+
+
+def test_metric_setter_swaps_udf(rng):
+    """Swapping the metric in place, including to/from UDFs
+    (reference Index.metric setter)."""
+    index = Index(ndim=8, metric="l2sq", dtype="f32")
+    vecs = np.zeros((3, 8), np.float32)
+    vecs[0, 0] = 1.0
+    vecs[1, 1] = 2.0
+    vecs[2, 2] = 3.0
+    index.add(np.arange(3), vecs)
+
+    q = np.zeros(8, np.float32)
+    assert index.search(q, 1).keys[0] == 0  # nearest by l2
+
+    index.metric = lambda a, b: -jnp.abs(a[2] - b[2])  # prefers largest dim-2 diff
+    assert index.search(q, 1).keys[0] == 2
+
+    index.metric = "l2sq"  # back to builtin
+    assert index.search(q, 1).keys[0] == 0

@@ -305,7 +305,20 @@ class Index:
 
     @metric.setter
     def metric(self, metric):
+        """Swap the metric in place (reference: Index.metric setter,
+        python/usearch/index.py:954 — also accepts CompiledMetric)."""
+        from .enums import CompiledMetric
+
+        if isinstance(metric, CompiledMetric):
+            self._metric_fn = metric.fn
+            self._metric_kind = metric.kind
+            return
+        if callable(metric) and not isinstance(metric, (str, MetricKind)):
+            self._metric_fn = metric
+            self._metric_kind = MetricKind.Unknown
+            return
         new = normalize_metric(metric)
+        self._metric_fn = None
         if new != self._metric_kind:
             self._metric_kind = new
             self._refresh_stats()
