@@ -186,11 +186,12 @@ def kmeans_fit(
     k = int(min(k, n))
     rng = np.random.default_rng(seed)
 
-    # power-of-two tiling buckets the compiled shapes (hierarchical builds
+    # power-of-two sizes bucket the compiled shapes (hierarchical builds
     # run MANY sub-k-means of varying sizes — unbucketed shapes would
-    # recompile per sub-cluster)
+    # recompile per sub-cluster; a remote compile helper makes each
+    # recompile minutes, not seconds)
     tile_rows = min(_ASSIGN_TILE, max(8, 1 << (n - 1).bit_length()))
-    n_pad = ((n + tile_rows - 1) // tile_rows) * tile_rows
+    n_pad = max(tile_rows, 1 << (n - 1).bit_length())
     if n_pad > n:
         # pad with copies of row 0; padded rows are sliced away from results
         # but DO enter centroid sums — compensate by subtracting them below.
