@@ -53,7 +53,7 @@ class IVFPartitions:
         n_partitions = min(n_partitions, n)
 
         # device-resident rows: no table round trip through the host
-        rows = index._table[jnp.asarray(live)].astype(jnp.float32)
+        rows = index._table[jnp.asarray(live)]  # storage dtype: no f32 table copy
         km_metric = (
             index._metric_kind
             if index._metric_kind in (MetricKind.Cos, MetricKind.IP, MetricKind.L2sq)

@@ -177,7 +177,7 @@ def kmeans_fit(
     jitted program (no early exits, no per-iteration host sync) — the right
     mode for the many sub-fits of a hierarchical build."""
     if isinstance(points, jnp.ndarray):
-        points_dev = points.astype(jnp.float32)
+        points_dev = points  # keep storage dtype; kernels cast per tile
     else:
         points_dev = jnp.asarray(
             np.ascontiguousarray(np.atleast_2d(points), dtype=np.float32)
@@ -207,7 +207,7 @@ def kmeans_fit(
         centroids = _kmeanspp_init(pts_dev, jkey, k)
     else:
         init_rows = rng.choice(n, size=k, replace=False)
-        centroids = points_dev[jnp.asarray(init_rows)]
+        centroids = points_dev[jnp.asarray(init_rows)].astype(jnp.float32)
 
     if fused:
         assigns, dists, centroids = _lloyd_fused(
@@ -279,7 +279,8 @@ def kmeans_hierarchical(
     Returns (assignments i32 [N] into the FLAT centroid list,
     distances f32 [N], centroids f32 [k_actual, D])."""
     if isinstance(points, jnp.ndarray):
-        pts = points.astype(jnp.float32)
+        pts = points  # keep storage dtype (i8/bf16): a full-table f32 copy
+        # would double-to-quadruple HBM at 10M+ rows
     else:
         pts = jnp.asarray(np.ascontiguousarray(np.atleast_2d(points), dtype=np.float32))
     n, d = pts.shape
@@ -335,16 +336,33 @@ def kmeans_hierarchical(
         centroids_out.append(sub_cents)
 
     centroids = np.concatenate(centroids_out) if centroids_out else np.zeros((0, d), np.float32)
-    # distances to the assigned centroid
+    # distances to the assigned centroid, computed in tiles (no full-table
+    # f32 temporaries)
     cents_dev = jnp.asarray(centroids)
-    own = cents_dev[jnp.asarray(assigns)]
-    if metric in (MetricKind.Cos, MetricKind.IP):
-        pn = jnp.linalg.norm(pts, axis=1)
-        cn = jnp.linalg.norm(own, axis=1)
-        denom = jnp.where(pn * cn == 0, 1.0, pn * cn)
-        dists = 1.0 - jnp.sum(pts * own, axis=1) / denom
-    else:
-        dists = jnp.sum((pts - own) ** 2, axis=1)
+    assigns_dev = jnp.asarray(assigns, dtype=jnp.int32)
+    tile = 1 << 17
+    n_pad2 = ((n + tile - 1) // tile) * tile
+    pts_p = jnp.concatenate([pts, jnp.broadcast_to(pts[:1], (n_pad2 - n, d))]) if n_pad2 > n else pts
+    asg_p = jnp.concatenate([assigns_dev, jnp.zeros(n_pad2 - n, jnp.int32)]) if n_pad2 > n else assigns_dev
+
+    @jax.jit
+    def _tiled_dists(pts_p, asg_p, cents):
+        def one(args):
+            rows, asg = args
+            own = cents[asg]
+            r = rows.astype(jnp.float32)
+            if metric in (MetricKind.Cos, MetricKind.IP):
+                pn = jnp.linalg.norm(r, axis=1)
+                cn = jnp.linalg.norm(own, axis=1)
+                denom = jnp.where(pn * cn == 0, 1.0, pn * cn)
+                return 1.0 - jnp.sum(r * own, axis=1) / denom
+            return jnp.sum((r - own) ** 2, axis=1)
+
+        return jax.lax.map(
+            one, (pts_p.reshape(-1, tile, d), asg_p.reshape(-1, tile))
+        ).reshape(-1)
+
+    dists = _tiled_dists(pts_p, asg_p, cents_dev)[:n]
     return (
         assigns,
         np.asarray(dists, dtype=np.float32),
