@@ -351,6 +351,8 @@ def _make_binned_kernel(metric: MetricKind, t_tile: int):
     n_bins = t_tile // _LANES
 
     def kernel(q_ref, q_aux_ref, tile_ref, t_aux_ref, out_v_ref, out_i_ref):
+        # outputs are [n_bins, q_tile] blocks: the lane (last) dim must be a
+        # multiple of 128, which q_tile is and n_bins isn't
         ti = pl.program_id(1)
         acc = jnp.int32 if q_ref.dtype == jnp.int8 else jnp.float32
         dots = jax.lax.dot_general(
@@ -366,8 +368,8 @@ def _make_binned_kernel(metric: MetricKind, t_tile: int):
             seg = d[:, b * _LANES : (b + 1) * _LANES]
             bv.append(jnp.min(seg, axis=-1))
             bi.append(jnp.argmin(seg, axis=-1).astype(jnp.int32) + b * _LANES)
-        out_v_ref[:] = jnp.stack(bv, axis=-1)
-        out_i_ref[:] = jnp.stack(bi, axis=-1) + ti * t_tile
+        out_v_ref[:] = jnp.stack(bv, axis=0)  # [n_bins, qt]
+        out_i_ref[:] = jnp.stack(bi, axis=0) + ti * t_tile
 
     return kernel
 
@@ -414,18 +416,18 @@ def pallas_search_binned(
             pl.BlockSpec((4, t_tile), lambda qi, ti: (0, ti)),
         ],
         out_specs=[
-            pl.BlockSpec((q_tile, n_bins), lambda qi, ti: (qi, ti)),
-            pl.BlockSpec((q_tile, n_bins), lambda qi, ti: (qi, ti)),
+            pl.BlockSpec((n_bins, q_tile), lambda qi, ti: (ti, qi)),
+            pl.BlockSpec((n_bins, q_tile), lambda qi, ti: (ti, qi)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_q, total_bins), jnp.float32),
-            jax.ShapeDtypeStruct((n_q, total_bins), jnp.int32),
+            jax.ShapeDtypeStruct((total_bins, n_q), jnp.float32),
+            jax.ShapeDtypeStruct((total_bins, n_q), jnp.int32),
         ],
         interpret=interpret,
     )(q, q_aux, table, t_aux)
 
-    d_sel, sel = jax.lax.approx_min_k(out_v, k)
-    i_sel = jnp.take_along_axis(out_i, sel.astype(jnp.int32), axis=1)
+    d_sel, sel = jax.lax.approx_min_k(out_v.T, k)
+    i_sel = jnp.take_along_axis(out_i.T, sel.astype(jnp.int32), axis=1)
     i_sel = jnp.where(d_sel >= MASKED / 2, -1, i_sel)
     return d_sel, i_sel
 
