@@ -34,6 +34,12 @@ def _logical_rows_np(index) -> np.ndarray:
     """Live rows in slot order, in on-disk (unpadded, stored-dtype) layout."""
     from .enums import ScalarKind, to_numpy_dtype
 
+    if index._table is None:  # empty index: zero logical rows
+        if index._is_set_index:
+            return np.zeros((0, index._ndim), dtype=np.int32)
+        if index._dtype == ScalarKind.B1:
+            return np.zeros((0, (index._ndim + 7) // 8), dtype=np.uint8)
+        return np.zeros((0, index._ndim), dtype=to_numpy_dtype(index._dtype))
     live = index._live_slots()
     if index._is_set_index:
         rows = np.asarray(index._table)[live][:, : index._ndim].astype(np.int32)
