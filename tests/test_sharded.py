@@ -101,3 +101,11 @@ def test_sharded_save_load_roundtrip(rng, tmp_path):
     want = sharded.search(dataset[:5], 3)
     np.testing.assert_array_equal(m.keys, want.keys)
     np.testing.assert_allclose(m.distances, want.distances, atol=1e-5)
+
+
+def test_sharded_empty_and_tiny(rng):
+    s = ShardedIndex.build(np.zeros((0, 8), np.float32), mesh=make_mesh())
+    m = s.search(rng.standard_normal((2, 8)).astype(np.float32), 3)
+    assert all(c == 0 for c in m.counts)
+    s2 = ShardedIndex.build(rng.standard_normal((3, 8)).astype(np.float32), mesh=make_mesh())
+    assert int(s2.search(rng.standard_normal((1, 8)).astype(np.float32), 5).counts[0]) == 3

@@ -139,7 +139,7 @@ class ShardedIndex:
         n = vectors.shape[0]
         n_shards = mesh.shape[SHARD_AXIS]
         rows = prepare_rows(vectors, in_kind, kind, ndim)
-        per_shard = pad_rows((n + n_shards - 1) // n_shards, 8)
+        per_shard = pad_rows(max((n + n_shards - 1) // n_shards, 1), 8)
         if per_shard > 64 * 1024:
             per_shard = 1 << (per_shard - 1).bit_length()  # pow2: tiles divide
         n_pad = per_shard * n_shards
