@@ -136,3 +136,24 @@ def test_join_asymmetric(rng):
     # every one of the smaller side can be matched
     assert len(mapping) == 10
     assert len(set(mapping.values())) == 10
+
+
+def test_join_empty_sides(rng):
+    a = Index(ndim=4, dtype="f32")
+    b = Index(ndim=4, dtype="f32")
+    assert a.join(b) == {}
+    b.add(1, np.ones(4, np.float32))
+    assert a.join(b) == {}
+
+
+def test_cluster_empty_index():
+    index = Index(ndim=4, dtype="f32")
+    c = index.cluster()
+    assert len(c.queries) == 0
+
+
+def test_pairwise_missing_key_raises():
+    index = Index(ndim=4, dtype="f32")
+    index.add(1, np.ones(4, np.float32))
+    with pytest.raises((KeyError, IndexError)):
+        index.pairwise_distance(1, 999)
