@@ -29,7 +29,7 @@ BATCH = 16384
 N_BATCHES = 6
 BASELINE_QPS = 131_654.0  # BENCHMARKS.md:30 (recall@1 99.3%)
 BASELINE_ADD = 75_640.0  # BENCHMARKS.md:30
-DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "540"))
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "510"))
 
 _state = {"done": False}
 _result = {
