@@ -441,3 +441,49 @@ def test_remove_with_compact():
     assert len(index._free_slots) == 0  # compacted
     m = index.search(vecs[1], 1)
     assert m.keys[0] == 1
+
+
+def test_binary_ranking_matches_scipy():
+    """Binary-metric search ORDER must match scipy's cdist ranking
+    (deeper than the self-match check in test_binary_index)."""
+    import scipy.spatial.distance as spd
+
+    reset_randomness()
+    nbits = 512
+    bits = (np.random.rand(200, nbits) > 0.5)
+    packed = np.packbits(bits.astype(np.uint8), axis=1)
+    q_bits = bits[:4]
+
+    for metric, scipy_name in [
+        (MetricKind.Tanimoto, "jaccard"),
+        (MetricKind.Sorensen, "dice"),
+    ]:
+        index = Index(ndim=nbits, metric=metric)
+        index.add(np.arange(200), packed)
+        m = index.search(packed[:4], 10)
+        want = spd.cdist(q_bits, bits, scipy_name)
+        for i in range(4):
+            expected_order = np.argsort(want[i], kind="stable")[:10]
+            # same candidate set (ties may reorder)
+            assert set(m.keys[i].tolist()) == set(expected_order.tolist()) or (
+                np.allclose(
+                    np.sort(want[i][m.keys[i].astype(int)]),
+                    np.sort(want[i][expected_order]),
+                    atol=1e-6,
+                )
+            )
+            np.testing.assert_allclose(
+                m.distances[i], want[i][m.keys[i].astype(int)], atol=1e-5
+            )
+
+
+def test_large_fingerprints_2048_bits():
+    """2048-bit molecular-fingerprint shape (RDKit scenario from
+    BASELINE.json configs)."""
+    reset_randomness()
+    packed = np.packbits((np.random.rand(100, 2048) > 0.5).astype(np.uint8), axis=1)
+    index = Index(ndim=2048, metric="tanimoto")
+    index.add(np.arange(100), packed)
+    m = index.search(packed[:5], 3)
+    np.testing.assert_array_equal(m.keys[:, 0], np.arange(5))
+    assert np.all(m.distances[:, 0] == 0)
