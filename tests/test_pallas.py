@@ -135,3 +135,22 @@ def test_pallas_binned_variant(rng):
         for i in range(q_n)
     )
     assert hits / (q_n * k) > 0.99
+
+
+def test_pallas_binned_split_dot_matches(rng):
+    from usearch_tpu.ops.pallas_scan import pallas_search_binned
+
+    n, d, q_n, k = 16384, 128, 256, 8
+    table = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((q_n, d)), jnp.float32)
+    stats = row_stats(table, ScalarKind.F32)
+    valid = jnp.ones((n,), bool)
+    a = pallas_search_binned(
+        MetricKind.IP, q, table, stats, valid, k, q_tile=256, t_tile=2048, interpret=True
+    )
+    b = pallas_search_binned(
+        MetricKind.IP, q, table, stats, valid, k,
+        q_tile=256, t_tile=2048, interpret=True, split_dot=True,
+    )
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), rtol=1e-6)

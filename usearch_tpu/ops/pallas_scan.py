@@ -343,11 +343,15 @@ def pallas_search_dma(
     return d_out, i_out
 
 
-def _make_binned_kernel(metric: MetricKind, t_tile: int):
+def _make_binned_kernel(metric: MetricKind, t_tile: int, split_dot: bool = False):
     """Merge-free cell: matmul + epilogue + per-128-lane bin min, written to
     the cell's own output slice exactly once. No accumulator revisits, no
     in-kernel selection — the cross-bin top-k runs OUTSIDE on the tiny
-    [Q, N/128] surface."""
+    [Q, N/128] surface.
+
+    ``split_dot``: compute one [qt, 128] matmul per bin and reduce it
+    immediately — the [qt, t_tile] score block never materializes in VMEM,
+    which permits much larger table tiles (fewer grid cells)."""
     n_bins = t_tile // _LANES
 
     def kernel(q_ref, q_aux_ref, tile_ref, t_aux_ref, out_v_ref, out_i_ref):
@@ -355,26 +359,40 @@ def _make_binned_kernel(metric: MetricKind, t_tile: int):
         # multiple of 128, which q_tile is and n_bins isn't
         ti = pl.program_id(1)
         acc = jnp.int32 if q_ref.dtype == jnp.int8 else jnp.float32
-        dots = jax.lax.dot_general(
-            q_ref[:],
-            tile_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=acc,
-        )
-        d = _epilogue(metric, dots, q_aux_ref[:], t_aux_ref[:])
         bv = []
         bi = []
-        for b in range(n_bins):
-            seg = d[:, b * _LANES : (b + 1) * _LANES]
-            bv.append(jnp.min(seg, axis=-1))
-            bi.append(jnp.argmin(seg, axis=-1).astype(jnp.int32) + b * _LANES)
+        if split_dot:
+            q_aux = q_aux_ref[:]
+            for b in range(n_bins):
+                sl = slice(b * _LANES, (b + 1) * _LANES)
+                dots_b = jax.lax.dot_general(
+                    q_ref[:],
+                    tile_ref[sl, :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=acc,
+                )
+                d_b = _epilogue(metric, dots_b, q_aux, t_aux_ref[:, sl])
+                bv.append(jnp.min(d_b, axis=-1))
+                bi.append(jnp.argmin(d_b, axis=-1).astype(jnp.int32) + b * _LANES)
+        else:
+            dots = jax.lax.dot_general(
+                q_ref[:],
+                tile_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=acc,
+            )
+            d = _epilogue(metric, dots, q_aux_ref[:], t_aux_ref[:])
+            for b in range(n_bins):
+                seg = d[:, b * _LANES : (b + 1) * _LANES]
+                bv.append(jnp.min(seg, axis=-1))
+                bi.append(jnp.argmin(seg, axis=-1).astype(jnp.int32) + b * _LANES)
         out_v_ref[:] = jnp.stack(bv, axis=0)  # [n_bins, qt]
         out_i_ref[:] = jnp.stack(bi, axis=0) + ti * t_tile
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
 def pallas_search_binned(
     metric: MetricKind,
     q: jnp.ndarray,
@@ -385,6 +403,7 @@ def pallas_search_binned(
     q_tile: int = DEFAULT_Q_TILE,
     t_tile: int = 4096,
     interpret: bool = False,
+    split_dot: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused scan, merge-free variant: the kernel emits per-bin minima
     [Q, N/128] (128× smaller than the score matrix) and one `approx_min_k`
@@ -405,7 +424,7 @@ def pallas_search_binned(
     qf = q.astype(jnp.float32)
     q_aux = jnp.stack([jnp.sum(qf * qf, axis=1), jnp.sum(qf, axis=1)], axis=0)
 
-    kernel = _make_binned_kernel(metric, t_tile)
+    kernel = _make_binned_kernel(metric, t_tile, split_dot)
     out_v, out_i = pl.pallas_call(
         kernel,
         grid=(n_q_tiles, n_t_tiles),
