@@ -127,3 +127,46 @@ def test_hierarchical_kmeans(rng):
     own = cents[assigns]
     want = np.sum((X - own) ** 2, axis=1)
     np.testing.assert_allclose(dists, want, rtol=1e-3, atol=1e-3)
+
+
+def test_ivf_inplace_reorder(rng):
+    """optimize(reorder=True): table permuted cluster-major, zero-copy IVF;
+    keys survive the slot transition; adds after reorder fall back safely."""
+    index = Index(ndim=16, metric="l2sq", dtype="f32")
+    X = _blobs(rng, 150, 6, 16, spread=0.2)
+    keys = np.arange(len(X), dtype=np.uint64) + 500
+    index.add(keys, X)
+
+    baseline = index.search(X[::90], 5, exact=True)
+    index.optimize(n_partitions=12, reorder=True)
+    assert index._ivf.inplace_shape is not None
+
+    # keys resolve after the slot transition; gets return the same vectors
+    got = index.get(keys[3])
+    np.testing.assert_allclose(got, X[3], atol=1e-6)
+    assert index.contains(keys[-1])
+    assert len(index) == len(X)
+
+    # exact search equals pre-reorder results (keys, distances)
+    after = index.search(X[::90], 5, exact=True)
+    np.testing.assert_array_equal(after.keys, baseline.keys)
+    np.testing.assert_allclose(after.distances, baseline.distances, atol=1e-5)
+
+    # IVF path: self-queries at full recall on separated blobs
+    m = index.search(X[::90], 5)
+    np.testing.assert_array_equal(m.keys[:, 0], keys[::90])
+
+    # removal + re-add after reorder (fills a gap slot, IVF goes dirty)
+    index.remove(keys[0])
+    index.add(9999, X[0])
+    m2 = index.search(X[0], 1)
+    assert m2.keys[0] == 9999
+
+    # persistence round trip of the reordered index
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "r.usearch")
+        index.save(path)
+        loaded = Index.restore(path)
+        assert len(loaded) == len(X)
+        assert loaded.search(X[5], 1).keys[0] == keys[5]

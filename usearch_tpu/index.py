@@ -1020,15 +1020,23 @@ class Index:
     # ------------------------------------------------------------------
 
     @_mutates
-    def optimize(self, n_partitions: Optional[int] = None) -> None:
+    def optimize(self, n_partitions: Optional[int] = None, reorder: bool = False) -> None:
         """Build the IVF partitioned-scan structure (the ANN replacement for
         the HNSW graph). Subsequent non-exact searches probe
-        `expansion_search`-bounded partitions."""
+        `expansion_search`-bounded partitions.
+
+        ``reorder=True`` PERMUTES the table itself into cluster-major order
+        (the reference's `compact` locality move, index.hpp:3590-3682):
+        slots change (keys don't), and the IVF costs no extra table memory —
+        required for 100M-scale tables that fill HBM."""
         from .ivf import IVFPartitions
 
         if self._count == 0:
             return
-        self._ivf = IVFPartitions.build(self, n_partitions)
+        if reorder:
+            self._ivf = IVFPartitions.build_inplace(self, n_partitions)
+        else:
+            self._ivf = IVFPartitions.build(self, n_partitions)
         self._ivf_dirty = False
 
     def cluster(

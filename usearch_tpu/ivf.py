@@ -33,18 +33,39 @@ _QUERY_CHUNK = 256
 
 
 class IVFPartitions:
-    """Built partition structure over an Index's device table."""
+    """Built partition structure over an Index's device table.
 
-    def __init__(self, centroids, part_table, part_stats, part_slots, avg_rows, built_count):
+    Two layouts:
+    - copied (`part_table` set): cluster-major duplicate of the live rows —
+      fastest to build, costs 2x table memory;
+    - in-place (`part_table` None): `optimize(reorder=True)` PERMUTED the
+      Index's own table cluster-major (the reference's `compact` move,
+      index.hpp:3590-3682, including the slot_transition remapping); the
+      [C, P, D] view is a free reshape inside the search kernel.
+    """
+
+    def __init__(
+        self,
+        centroids,
+        part_table,
+        part_stats,
+        part_slots,
+        avg_rows,
+        built_count,
+        inplace_shape=None,
+    ):
         self.centroids = centroids        # jnp [C, D] f32 (padded width)
-        self.part_table = part_table      # jnp [C, P, D] storage dtype, cluster-major
-        self.part_stats = part_stats      # jnp [C, P, 2] f32; padding rows = +MASKED penalty in [, , 0]? no: stats; padding handled via part_slots
-        self.part_slots = part_slots      # jnp [C, P] i32 global slot ids, -1 padding
+        self.part_table = part_table      # jnp [C, P, D] or None (in-place)
+        self.part_stats = part_stats      # jnp [C, P, 2] or None
+        self.part_slots = part_slots      # jnp [C, P] i32 global slot ids, -1 pad (copied layout)
         self.avg_rows_per_part = avg_rows
         self.built_count = built_count
+        self.inplace_shape = inplace_shape  # (C, P) when table itself is cluster-major
 
     @staticmethod
-    def build(index, n_partitions: Optional[int] = None) -> "IVFPartitions":
+    def _quantize(index, n_partitions: Optional[int]):
+        """Coarse quantizer + capped chunking shared by both layouts.
+        Returns (chunk member lists of OLD slots, per-chunk centroids, P, n)."""
         live = index._live_slots()
         n = len(live)
         if n_partitions is None:
@@ -74,7 +95,7 @@ class IVFPartitions:
         c = centroids.shape[0]
         counts = np.bincount(assigns, minlength=c)
         # Cap partition depth at 4x the average: a skewed cluster would
-        # otherwise inflate the [C, P, D] cluster-major layout (memory ∝
+        # otherwise inflate the cluster-major layout (memory/padding ∝
         # P_max). Oversized clusters split into chunks that share the same
         # centroid — ties in the centroid scores keep the chunks adjacent in
         # the probe ranking.
@@ -96,8 +117,12 @@ class IVFPartitions:
             for off in range(0, max(len(members), 1), p_max):
                 chunk_rows.append(members[off : off + p_max])
                 chunk_centroids.append(centroids[ci])
+        return chunk_rows, np.stack(chunk_centroids), p_max, n
+
+    @staticmethod
+    def build(index, n_partitions: Optional[int] = None) -> "IVFPartitions":
+        chunk_rows, centroids, p_max, n = IVFPartitions._quantize(index, n_partitions)
         c = len(chunk_rows)
-        centroids = np.stack(chunk_centroids)
         part_slots = np.full((c, p_max), -1, dtype=np.int32)
         for ci, members in enumerate(chunk_rows):
             part_slots[ci, : len(members)] = members
@@ -117,16 +142,100 @@ class IVFPartitions:
             built_count=n,
         )
 
+    @staticmethod
+    def build_inplace(index, n_partitions: Optional[int] = None) -> "IVFPartitions":
+        """Permute the Index's OWN table into cluster-major order: partition
+        ci occupies rows [ci*P, (ci+1)*P); padding rows become free slots.
+        No duplicated layout (the reference's `compact` + slot_transition
+        remapping, index.hpp:3590-3682). Keys are untouched; slots change."""
+        from .exact import pad_rows as _pad
+
+        chunk_rows, centroids, p_max, n = IVFPartitions._quantize(index, n_partitions)
+        c = len(chunk_rows)
+        body = c * p_max
+        cap2 = max(_pad(body, 65536), 65536) if body > 65536 else _pad(body, 1024)
+
+        # position -> old slot (or -1 for padding)
+        old_of_pos = np.full(cap2, -1, dtype=np.int32)
+        for ci, members in enumerate(chunk_rows):
+            old_of_pos[ci * p_max : ci * p_max + len(members)] = members
+
+        old_dev = jnp.asarray(old_of_pos)
+        safe = jnp.maximum(old_dev, 0)
+
+        @jax.jit
+        def permute(table, stats, old_dev, safe):
+            ok = (old_dev >= 0)[:, None]
+            new_table = jnp.where(ok, table[safe], jnp.zeros((), table.dtype))
+            new_stats = jnp.where(ok, stats[safe], 0.0)
+            return new_table, new_stats, old_dev >= 0
+
+        new_table, new_stats, new_valid = permute(index._table, index._stats, old_dev, safe)
+
+        # host-side slot transition (reindex_keys_/slot_transition semantics)
+        new_slot_keys = np.zeros(cap2, dtype=np.uint64)
+        occupied = old_of_pos >= 0
+        new_slot_keys[occupied] = index._slot_keys[old_of_pos[occupied]]
+        from .keymap import KeyMap
+
+        keymap = KeyMap(multi=index._multi)
+        pos = np.nonzero(occupied)[0]
+        keymap.insert_many(new_slot_keys[pos], pos.astype(np.uint64))
+
+        index._table = new_table
+        index._stats = new_stats
+        index._valid = new_valid
+        index._capacity = cap2
+        index._slot_keys = new_slot_keys
+        index._keymap = keymap
+        index._free_slots = np.nonzero(~occupied)[0].tolist()
+        index._next_slot = cap2
+        if index._host_f64 is not None:
+            new_f64 = np.zeros((cap2, index._ndim), dtype=np.float64)
+            new_f64[occupied] = index._host_f64[old_of_pos[occupied]]
+            index._host_f64 = new_f64
+
+        return IVFPartitions(
+            centroids=jnp.asarray(centroids),
+            part_table=None,
+            part_stats=None,
+            part_slots=None,
+            avg_rows=max(n / c, 1.0),
+            built_count=n,
+            inplace_shape=(c, p_max),
+        )
+
+    def _shape(self):
+        if self.inplace_shape is not None:
+            return self.inplace_shape
+        return (int(self.part_slots.shape[0]), int(self.part_slots.shape[1]))
+
     def nprobe_for(self, expansion_search: int, connectivity: int = 16) -> int:
         budget = max(expansion_search, 1) * max(connectivity, 1)
-        c = int(self.part_slots.shape[0])
+        c, _ = self._shape()
         return int(np.clip(math.ceil(budget / self.avg_rows_per_part), 1, c))
 
     def scanned_rows(self, expansion_search: int, connectivity: int = 16) -> int:
-        return int(self.nprobe_for(expansion_search, connectivity) * self.part_slots.shape[1])
+        return int(self.nprobe_for(expansion_search, connectivity) * self._shape()[1])
 
     def search(self, index, q, valid, k: int, expansion_search: int):
         nprobe = self.nprobe_for(expansion_search, index._connectivity)
+        if self.inplace_shape is not None:
+            c, p = self.inplace_shape
+            return _ivf_probe_search_inplace(
+                index._metric_kind,
+                index._dtype,
+                q,
+                valid,
+                self.centroids,
+                index._table,
+                index._stats,
+                index._ndim,
+                k,
+                nprobe,
+                c,
+                p,
+            )
         return _ivf_probe_search(
             index._metric_kind,
             index._dtype,
@@ -140,6 +249,7 @@ class IVFPartitions:
             k,
             nprobe,
         )
+
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 8, 9, 10))
@@ -201,6 +311,110 @@ def _ivf_probe_search(
         rstats = part_stats[prc].reshape(chunk, nprobe * p, 2)
         cand = part_slots[prc].reshape(chunk, nprobe * p)
         ok = (cand >= 0) & valid[jnp.maximum(cand, 0)]
+
+        if kind == ScalarKind.I8:
+            d_ = jnp.einsum(
+                "qd,qrd->qr", qc.astype(jnp.int32), rows.astype(jnp.int32)
+            ).astype(jnp.float32)
+        elif qc.dtype == jnp.float32:
+            d_ = jnp.einsum("qd,qrd->qr", qc, rows, precision=jax.lax.Precision.HIGHEST)
+        else:
+            d_ = jnp.einsum("qd,qrd->qr", qc, rows, preferred_element_type=jnp.float32)
+        q_sq, q_sum = qsc[:, 0], qsc[:, 1]
+        t_sq = rstats[..., 0]
+        d_ = d_.astype(jnp.float32)
+        if metric == MetricKind.IP:
+            dist = 1.0 - d_
+        elif metric == MetricKind.Cos:
+            denom = jnp.sqrt(q_sq)[:, None] * jnp.sqrt(t_sq)
+            safe_d = jnp.where(denom == 0, 1.0, denom)
+            base = 1.0 - d_ / safe_d
+            one_zero = (q_sq[:, None] == 0) ^ (t_sq == 0)
+            both_zero = (q_sq[:, None] == 0) & (t_sq == 0)
+            dist = jnp.where(both_zero, 0.0, jnp.where(one_zero, 1.0, base))
+        else:  # L2sq
+            dist = jnp.maximum(q_sq[:, None] + t_sq - 2.0 * d_, 0.0)
+        dist = jnp.where(ok, dist, MASKED)
+        kk = min(k, dist.shape[1])
+        neg, sel = jax.lax.top_k(-dist, kk)
+        ids = jnp.take_along_axis(cand, sel, axis=1)
+        d_out = -neg
+        ids = jnp.where(d_out >= MASKED / 2, -1, ids)
+        if k > kk:
+            extra = k - kk
+            d_out = jnp.concatenate([d_out, jnp.full((chunk, extra), MASKED)], axis=1)
+            ids = jnp.concatenate([ids, jnp.full((chunk, extra), -1, jnp.int32)], axis=1)
+        return d_out, ids
+
+    d_all, i_all = jax.lax.map(one_chunk, (q_c, qs_c, pr_c))
+    d_all = d_all.reshape(n_chunks * chunk, k)[:n_q]
+    i_all = i_all.reshape(n_chunks * chunk, k)[:n_q]
+    return d_all, i_all.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 7, 8, 9, 10, 11))
+def _ivf_probe_search_inplace(
+    metric: MetricKind,
+    kind: ScalarKind,
+    q,                # [Q, D] storage dtype
+    valid,            # [cap2] bool
+    centroids,        # [C, D] f32
+    table,            # [cap2, D] cluster-major (first C*P rows)
+    stats,            # [cap2, 2]
+    ndim: int,
+    k: int,
+    nprobe: int,
+    c: int,
+    p: int,
+):
+    """In-place-layout probe: partition ci lives at table rows
+    [ci*P, (ci+1)*P) — the [C, P, D] view is a free reshape inside the
+    program, so the IVF costs NO extra table memory."""
+    from .ops.distances import row_stats
+
+    n_q = q.shape[0]
+    q_stats = row_stats(q, kind)
+    qf = q.astype(jnp.float32)
+
+    dots = jax.lax.dot_general(
+        qf, centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if metric == MetricKind.L2sq:
+        c_sq = jnp.sum(centroids * centroids, axis=1)
+        q_sq0 = jnp.sum(qf * qf, axis=1, keepdims=True)
+        cdist = q_sq0 + c_sq[None, :] - 2.0 * dots
+    else:
+        cdist = -dots
+    _, probes = jax.lax.top_k(-cdist, nprobe)  # [Q, nprobe]
+
+    part_table = table[: c * p].reshape(c, p, -1)
+    part_stats = stats[: c * p].reshape(c, p, 2)
+
+    row_bytes = table.shape[-1] * table.dtype.itemsize + 12
+    budget = 128 * 1024 * 1024
+    chunk = int(np.clip(budget // max(nprobe * p * row_bytes, 1), 8, _QUERY_CHUNK))
+    chunk = min(chunk, n_q)
+    n_chunks = (n_q + chunk - 1) // chunk
+    pad = n_chunks * chunk - n_q
+    if pad:
+        q = jnp.concatenate([q, q[:pad]])
+        q_stats = jnp.concatenate([q_stats, q_stats[:pad]])
+        probes = jnp.concatenate([probes, probes[:pad]])
+
+    q_c = q.reshape(n_chunks, chunk, -1)
+    qs_c = q_stats.reshape(n_chunks, chunk, 2)
+    pr_c = probes.reshape(n_chunks, chunk, nprobe)
+
+    def one_chunk(args):
+        qc, qsc, prc = args
+        rows = part_table[prc].reshape(chunk, nprobe * p, -1)
+        rstats = part_stats[prc].reshape(chunk, nprobe * p, 2)
+        # candidate POSITIONS (slots are positions in the in-place layout)
+        cand = (
+            prc[:, :, None] * p
+            + jax.lax.broadcasted_iota(jnp.int32, (chunk, nprobe, p), 2)
+        ).reshape(chunk, nprobe * p)
+        ok = valid[cand]
 
         if kind == ScalarKind.I8:
             d_ = jnp.einsum(
