@@ -170,3 +170,37 @@ def test_ivf_inplace_reorder(rng):
         loaded = Index.restore(path)
         assert len(loaded) == len(X)
         assert loaded.search(X[5], 1).keys[0] == keys[5]
+
+
+@pytest.mark.parametrize("metric", ["l2sq", "cos", "ip"])
+def test_ivf_dense_full_probe_equals_exact(rng, metric):
+    """Dense in-place layout: probing ALL partitions must reproduce the exact
+    scan bit-for-bit (validates window masking, block overscan, and the
+    position-is-slot arithmetic across uneven partition lengths)."""
+    index = Index(ndim=16, metric=metric, dtype="f32", expansion_search=4096)
+    # deliberately skewed blob sizes -> uneven partition lengths
+    parts = []
+    for i, n_per in enumerate([400, 90, 25, 250, 7, 130]):
+        center = rng.standard_normal(16) * 3
+        parts.append(center + rng.standard_normal((n_per, 16)) * 0.3)
+    X = np.concatenate(parts).astype(np.float32)
+    keys = np.arange(len(X), dtype=np.uint64)
+    index.add(keys, X)
+    index.optimize(n_partitions=6, reorder=True)
+    assert index._ivf.starts is not None
+
+    nprobe = index._ivf.nprobe_for(index._expansion_search)
+    assert nprobe == index._ivf._shape()[0]  # covers every partition
+
+    Q = X[rng.choice(len(X), 40, replace=False)]
+    exact = index.search(Q, 7, exact=True)
+    ivf = index.search(Q, 7)
+    np.testing.assert_array_equal(ivf.keys, exact.keys)
+    np.testing.assert_allclose(ivf.distances, exact.distances, atol=1e-4)
+
+    # deletions are respected without a rebuild
+    victim = int(exact.keys[0, 0])
+    index.remove(victim)
+    index._ivf_dirty = False  # keep the structure; the valid mask filters
+    after = index.search(Q[:1], 7)
+    assert victim not in after.keys

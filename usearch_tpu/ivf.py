@@ -32,16 +32,23 @@ from .ops.distances import MASKED
 _QUERY_CHUNK = 256
 
 
+_DENSE_BLOCK = 256  # rows per gather block in the dense in-place layout
+
+
 class IVFPartitions:
     """Built partition structure over an Index's device table.
 
     Two layouts:
     - copied (`part_table` set): cluster-major duplicate of the live rows —
       fastest to build, costs 2x table memory;
-    - in-place (`part_table` None): `optimize(reorder=True)` PERMUTED the
-      Index's own table cluster-major (the reference's `compact` move,
-      index.hpp:3590-3682, including the slot_transition remapping); the
-      [C, P, D] view is a free reshape inside the search kernel.
+    - dense in-place (`starts`/`lens` set): `optimize(reorder=True)` PERMUTED
+      the Index's own table cluster-major (the reference's `compact` move,
+      index.hpp:3590-3682, including the slot_transition remapping) with NO
+      per-partition padding: partition ci occupies rows
+      [starts[ci], starts[ci]+lens[ci]). Probing gathers whole fixed-size row
+      BLOCKS covering each window (block-DMA efficiency) and masks rows
+      outside the window — zero memory waste, which is what fits IVF at
+      100M rows in one chip's HBM.
     """
 
     def __init__(
@@ -53,6 +60,10 @@ class IVFPartitions:
         avg_rows,
         built_count,
         inplace_shape=None,
+        starts=None,
+        lens=None,
+        p_win=0,
+        block=_DENSE_BLOCK,
     ):
         self.centroids = centroids        # jnp [C, D] f32 (padded width)
         self.part_table = part_table      # jnp [C, P, D] or None (in-place)
@@ -60,7 +71,11 @@ class IVFPartitions:
         self.part_slots = part_slots      # jnp [C, P] i32 global slot ids, -1 pad (copied layout)
         self.avg_rows_per_part = avg_rows
         self.built_count = built_count
-        self.inplace_shape = inplace_shape  # (C, P) when table itself is cluster-major
+        self.inplace_shape = inplace_shape  # (C, p_win) when table is cluster-major
+        self.starts = starts              # jnp [C] i32 row offsets (dense layout)
+        self.lens = lens                  # jnp [C] i32 partition lengths
+        self.p_win = p_win                # static probe-window rows (max len)
+        self.block = block                # gather-block rows
 
     @staticmethod
     def _quantize(index, n_partitions: Optional[int]):
@@ -144,21 +159,27 @@ class IVFPartitions:
 
     @staticmethod
     def build_inplace(index, n_partitions: Optional[int] = None) -> "IVFPartitions":
-        """Permute the Index's OWN table into cluster-major order: partition
-        ci occupies rows [ci*P, (ci+1)*P); padding rows become free slots.
-        No duplicated layout (the reference's `compact` + slot_transition
+        """Permute the Index's OWN table into DENSE cluster-major order:
+        partition ci occupies rows [starts[ci], starts[ci]+lens[ci]) with no
+        per-partition padding (the reference's `compact` + slot_transition
         remapping, index.hpp:3590-3682). Keys are untouched; slots change."""
         from .exact import pad_rows as _pad
 
         chunk_rows, centroids, p_max, n = IVFPartitions._quantize(index, n_partitions)
         c = len(chunk_rows)
-        body = c * p_max
+        lens = np.array([len(m) for m in chunk_rows], dtype=np.int32)
+        starts = np.zeros(c, dtype=np.int32)
+        starts[1:] = np.cumsum(lens[:-1])
+        body = int(lens.sum())
+        p_win = max(((int(lens.max(initial=1)) + 7) // 8) * 8, 8)
         cap2 = max(_pad(body, 65536), 65536) if body > 65536 else _pad(body, 1024)
+        cap2 = ((cap2 + _DENSE_BLOCK - 1) // _DENSE_BLOCK) * _DENSE_BLOCK
 
-        # position -> old slot (or -1 for padding)
+        # position -> old slot (or -1 for padding); all padding sits at the
+        # tail — the body is gap-free
         old_of_pos = np.full(cap2, -1, dtype=np.int32)
-        for ci, members in enumerate(chunk_rows):
-            old_of_pos[ci * p_max : ci * p_max + len(members)] = members
+        if body:
+            old_of_pos[:body] = np.concatenate(chunk_rows)
 
         old_dev = jnp.asarray(old_of_pos)
         safe = jnp.maximum(old_dev, 0)
@@ -202,7 +223,10 @@ class IVFPartitions:
             part_slots=None,
             avg_rows=max(n / c, 1.0),
             built_count=n,
-            inplace_shape=(c, p_max),
+            inplace_shape=(c, p_win),
+            starts=jnp.asarray(starts),
+            lens=jnp.asarray(lens),
+            p_win=p_win,
         )
 
     def _shape(self):
@@ -221,8 +245,7 @@ class IVFPartitions:
     def search(self, index, q, valid, k: int, expansion_search: int):
         nprobe = self.nprobe_for(expansion_search, index._connectivity)
         if self.inplace_shape is not None:
-            c, p = self.inplace_shape
-            return _ivf_probe_search_inplace(
+            return _ivf_probe_search_dense(
                 index._metric_kind,
                 index._dtype,
                 q,
@@ -230,11 +253,13 @@ class IVFPartitions:
                 self.centroids,
                 index._table,
                 index._stats,
+                self.starts,
+                self.lens,
                 index._ndim,
                 k,
                 nprobe,
-                c,
-                p,
+                self.p_win,
+                self.block,
             )
         return _ivf_probe_search(
             index._metric_kind,
@@ -352,27 +377,33 @@ def _ivf_probe_search(
     return d_all, i_all.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 7, 8, 9, 10, 11))
-def _ivf_probe_search_inplace(
+@functools.partial(jax.jit, static_argnums=(0, 1, 9, 10, 11, 12, 13))
+def _ivf_probe_search_dense(
     metric: MetricKind,
     kind: ScalarKind,
     q,                # [Q, D] storage dtype
     valid,            # [cap2] bool
     centroids,        # [C, D] f32
-    table,            # [cap2, D] cluster-major (first C*P rows)
-    stats,            # [cap2, 2]
+    table,            # [cap2, D] dense cluster-major
+    stats,            # [cap2, 2] (unused and may be any shape for IP)
+    starts,           # [C] i32 partition row offsets
+    lens,             # [C] i32 partition lengths
     ndim: int,
     k: int,
     nprobe: int,
-    c: int,
-    p: int,
+    p_win: int,       # static max partition length (probe window)
+    block: int,       # gather-block rows
 ):
-    """In-place-layout probe: partition ci lives at table rows
-    [ci*P, (ci+1)*P) — the [C, P, D] view is a free reshape inside the
-    program, so the IVF costs NO extra table memory."""
+    """Dense-layout probe: partition ci lives at table rows
+    [starts[ci], starts[ci]+lens[ci]) — no padding gaps, so the IVF costs NO
+    extra table memory. Each probe gathers the whole row BLOCKS covering its
+    window (long contiguous DMA reads, like the copied [C, P, D] layout) and
+    masks the ≤block-1 overscan rows at each end."""
     from .ops.distances import row_stats
 
     n_q = q.shape[0]
+    cap2 = table.shape[0]
+    nb = cap2 // block
     q_stats = row_stats(q, kind)
     qf = q.astype(jnp.float32)
 
@@ -387,12 +418,16 @@ def _ivf_probe_search_inplace(
         cdist = -dots
     _, probes = jax.lax.top_k(-cdist, nprobe)  # [Q, nprobe]
 
-    part_table = table[: c * p].reshape(c, p, -1)
-    part_stats = stats[: c * p].reshape(c, p, 2)
+    tblk = table.reshape(nb, block, -1)
+    use_stats = metric in (MetricKind.Cos, MetricKind.L2sq)
+    sblk = stats.reshape(nb, block, 2) if use_stats else None
+    # blocks covering a window that starts anywhere inside a block
+    nblk = (p_win - 1) // block + 2
+    r = nblk * block  # gathered rows per probe
 
     row_bytes = table.shape[-1] * table.dtype.itemsize + 12
     budget = 128 * 1024 * 1024
-    chunk = int(np.clip(budget // max(nprobe * p * row_bytes, 1), 8, _QUERY_CHUNK))
+    chunk = int(np.clip(budget // max(nprobe * r * row_bytes, 1), 8, _QUERY_CHUNK))
     chunk = min(chunk, n_q)
     n_chunks = (n_q + chunk - 1) // chunk
     pad = n_chunks * chunk - n_q
@@ -407,14 +442,25 @@ def _ivf_probe_search_inplace(
 
     def one_chunk(args):
         qc, qsc, prc = args
-        rows = part_table[prc].reshape(chunk, nprobe * p, -1)
-        rstats = part_stats[prc].reshape(chunk, nprobe * p, 2)
-        # candidate POSITIONS (slots are positions in the in-place layout)
+        st = starts[prc]                                 # [chunk, nprobe]
+        ln = lens[prc]
+        blk0 = st // block
+        bidx = jnp.minimum(
+            blk0[:, :, None]
+            + jax.lax.broadcasted_iota(jnp.int32, (chunk, nprobe, nblk), 2),
+            nb - 1,
+        )
+        rows = tblk[bidx].reshape(chunk, nprobe * r, -1)  # block gather
+        # global positions of the gathered rows (positions ARE slots)
         cand = (
-            prc[:, :, None] * p
-            + jax.lax.broadcasted_iota(jnp.int32, (chunk, nprobe, p), 2)
-        ).reshape(chunk, nprobe * p)
-        ok = valid[cand]
+            (blk0 * block)[:, :, None]
+            + jax.lax.broadcasted_iota(jnp.int32, (chunk, nprobe, r), 2)
+        ).reshape(chunk, nprobe * r)
+        st_f = jnp.repeat(st, r, axis=1)
+        ln_f = jnp.repeat(ln, r, axis=1)
+        in_win = (cand >= st_f) & (cand < st_f + ln_f) & (cand < cap2)
+        safe_cand = jnp.minimum(cand, cap2 - 1)
+        ok = in_win & valid[safe_cand]
 
         if kind == ScalarKind.I8:
             d_ = jnp.einsum(
@@ -425,11 +471,11 @@ def _ivf_probe_search_inplace(
         else:
             d_ = jnp.einsum("qd,qrd->qr", qc, rows, preferred_element_type=jnp.float32)
         q_sq, q_sum = qsc[:, 0], qsc[:, 1]
-        t_sq = rstats[..., 0]
         d_ = d_.astype(jnp.float32)
         if metric == MetricKind.IP:
             dist = 1.0 - d_
         elif metric == MetricKind.Cos:
+            t_sq = sblk[bidx][..., 0].reshape(chunk, nprobe * r)
             denom = jnp.sqrt(q_sq)[:, None] * jnp.sqrt(t_sq)
             safe_d = jnp.where(denom == 0, 1.0, denom)
             base = 1.0 - d_ / safe_d
@@ -437,6 +483,7 @@ def _ivf_probe_search_inplace(
             both_zero = (q_sq[:, None] == 0) & (t_sq == 0)
             dist = jnp.where(both_zero, 0.0, jnp.where(one_zero, 1.0, base))
         else:  # L2sq
+            t_sq = sblk[bidx][..., 0].reshape(chunk, nprobe * r)
             dist = jnp.maximum(q_sq[:, None] + t_sq - 2.0 * d_, 0.0)
         dist = jnp.where(ok, dist, MASKED)
         kk = min(k, dist.shape[1])
