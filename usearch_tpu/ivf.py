@@ -78,9 +78,14 @@ class IVFPartitions:
         self.block = block                # gather-block rows
 
     @staticmethod
-    def _quantize(index, n_partitions: Optional[int]):
+    def _quantize(index, n_partitions: Optional[int], p_cap_mult: float = 4.0):
         """Coarse quantizer + capped chunking shared by both layouts.
-        Returns (chunk member lists of OLD slots, per-chunk centroids, P, n)."""
+        Returns (chunk member lists of OLD slots, per-chunk centroids, P, n).
+
+        ``p_cap_mult`` bounds chunk depth at that multiple of the average:
+        the copied [C, P, D] layout pays real memory for depth skew (4x);
+        the dense layout pays only probe-window overscan, so it splits
+        tighter (1.5x) — splitting there costs nothing but probe slots."""
         live = index._live_slots()
         n = len(live)
         if n_partitions is None:
@@ -115,7 +120,7 @@ class IVFPartitions:
         # centroid — ties in the centroid scores keep the chunks adjacent in
         # the probe ranking.
         avg = max(int(np.ceil(n / max(c, 1))), 1)
-        p_cap = ((4 * avg + 7) // 8) * 8
+        p_cap = ((int(p_cap_mult * avg) + 7) // 8) * 8
         p_max = min(max(int(counts.max()), 8), p_cap)
         p_max = ((p_max + 7) // 8) * 8  # sublane-align partition depth
 
@@ -165,7 +170,9 @@ class IVFPartitions:
         remapping, index.hpp:3590-3682). Keys are untouched; slots change."""
         from .exact import pad_rows as _pad
 
-        chunk_rows, centroids, p_max, n = IVFPartitions._quantize(index, n_partitions)
+        chunk_rows, centroids, p_max, n = IVFPartitions._quantize(
+            index, n_partitions, p_cap_mult=1.5
+        )
         c = len(chunk_rows)
         lens = np.array([len(m) for m in chunk_rows], dtype=np.int32)
         starts = np.zeros(c, dtype=np.int32)
