@@ -154,3 +154,24 @@ def test_pallas_binned_split_dot_matches(rng):
     )
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), rtol=1e-6)
+
+
+def test_pallas_binned_transposed_matches(rng):
+    """Transposed sublane-bin variant returns the identical candidate set."""
+    from usearch_tpu.ops.pallas_scan import pallas_search_binned
+
+    n, d, q_n, k = 8192, 128, 256, 8
+    table = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((q_n, d)), jnp.float32)
+    stats = row_stats(table, ScalarKind.F32)
+    valid = jnp.asarray(np.arange(n) % 3 != 0)
+    for metric in (MetricKind.IP, MetricKind.Cos, MetricKind.L2sq):
+        a = pallas_search_binned(
+            metric, q, table, stats, valid, k, q_tile=256, t_tile=2048, interpret=True
+        )
+        b = pallas_search_binned(
+            metric, q, table, stats, valid, k, q_tile=256, t_tile=2048,
+            interpret=True, transposed=True,
+        )
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), rtol=1e-5)

@@ -61,6 +61,28 @@ def _epilogue(metric: MetricKind, dots, q_aux, t_aux):
     return d + penalty
 
 
+def _epilogue_t(metric: MetricKind, dots, q_aux, t_aux):
+    """Transposed epilogue: dots [T, QT] + q aux [2, QT] + row aux [4, T]."""
+    dots = dots.astype(jnp.float32)
+    t_sq = t_aux[0, :][:, None]
+    penalty = t_aux[2, :][:, None]
+    q_sq = q_aux[0, :][None, :]
+    if metric == MetricKind.IP:
+        d = 1.0 - dots
+    elif metric == MetricKind.Cos:
+        denom = jnp.sqrt(q_sq) * jnp.sqrt(t_sq)
+        safe = jnp.where(denom == 0.0, 1.0, denom)
+        base = 1.0 - dots / safe
+        one_zero = (q_sq == 0.0) ^ (t_sq == 0.0)
+        both_zero = (q_sq == 0.0) & (t_sq == 0.0)
+        d = jnp.where(both_zero, 0.0, jnp.where(one_zero, 1.0, base))
+    elif metric == MetricKind.L2sq:
+        d = jnp.maximum(q_sq + t_sq - 2.0 * dots, 0.0)
+    else:
+        raise ValueError(f"pallas scan supports ip/cos/l2sq, got {metric}")
+    return d + penalty
+
+
 def _make_kernel(metric: MetricKind, k: int, t_tile: int, n_t_tiles: int):
     n_bins = t_tile // _LANES
 
@@ -392,7 +414,35 @@ def _make_binned_kernel(metric: MetricKind, t_tile: int, split_dot: bool = False
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
+def _make_binned_t_kernel(metric: MetricKind, t_tile: int):
+    """Transposed merge-free cell: the matmul emits [t_tile, qt] so each
+    128-row bin is a SUBLANE group — the per-bin min/argmin reduce along the
+    sublane axis after a free major-dim reshape (no lane-dim slicing, no
+    stack relayout; the lane-dim variant spends ~55% of its cell time in the
+    64 unrolled slice-mins)."""
+    n_bins = t_tile // _LANES
+
+    def kernel(q_ref, q_aux_ref, tile_ref, t_aux_ref, out_v_ref, out_i_ref):
+        ti = pl.program_id(1)
+        qt = q_ref.shape[0]
+        acc = jnp.int32 if q_ref.dtype == jnp.int8 else jnp.float32
+        dots = jax.lax.dot_general(
+            tile_ref[:],
+            q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=acc,
+        )  # [t_tile, qt]
+        d = _epilogue_t(metric, dots, q_aux_ref[:], t_aux_ref[:])
+        d3 = d.reshape(n_bins, _LANES, qt)  # major-dim split: no relayout
+        out_v_ref[:] = jnp.min(d3, axis=1)
+        within = jnp.argmin(d3, axis=1).astype(jnp.int32)  # [n_bins, qt]
+        base = jax.lax.broadcasted_iota(jnp.int32, (n_bins, qt), 0) * _LANES
+        out_i_ref[:] = within + base + ti * t_tile
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9, 10))
 def pallas_search_binned(
     metric: MetricKind,
     q: jnp.ndarray,
@@ -404,6 +454,7 @@ def pallas_search_binned(
     t_tile: int = 4096,
     interpret: bool = False,
     split_dot: bool = False,
+    transposed: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused scan, merge-free variant: the kernel emits per-bin minima
     [Q, N/128] (128× smaller than the score matrix) and one `approx_min_k`
@@ -424,7 +475,11 @@ def pallas_search_binned(
     qf = q.astype(jnp.float32)
     q_aux = jnp.stack([jnp.sum(qf * qf, axis=1), jnp.sum(qf, axis=1)], axis=0)
 
-    kernel = _make_binned_kernel(metric, t_tile, split_dot)
+    kernel = (
+        _make_binned_t_kernel(metric, t_tile)
+        if transposed
+        else _make_binned_kernel(metric, t_tile, split_dot)
+    )
     out_v, out_i = pl.pallas_call(
         kernel,
         grid=(n_q_tiles, n_t_tiles),
