@@ -60,3 +60,53 @@ def test_save_after_remove_compacts_file(tmp_path):
     assert len(loaded) == 5
     assert not loaded.contains(0)
     assert loaded.contains(7)
+
+
+def test_ivf_structure_survives_save_load_view(rng, tmp_path):
+    """optimize(reorder=True) + save: the dense IVF structure rides the file,
+    so load/view serve partitioned scans with NO quantizer re-fit."""
+    from usearch_tpu import Index
+
+    X = np.concatenate(
+        [c + rng.standard_normal((120, 16)).astype(np.float32) * 0.2
+         for c in rng.standard_normal((6, 16)).astype(np.float32) * 3]
+    )
+    index = Index(ndim=16, metric="l2sq", dtype="f32")
+    index.add(np.arange(len(X), dtype=np.uint64), X)
+    index.optimize(n_partitions=8, reorder=True)
+    want = index.search(X[::100], 5)
+
+    buf = index.save()  # no path yet: returns bytes
+    path = str(tmp_path / "ivf.usearch")
+    index.save(path)
+
+    loaded = Index.restore(path)
+    assert loaded._ivf is not None and not loaded._ivf_dirty
+    assert loaded._ivf.inplace_shape == index._ivf.inplace_shape
+    got = loaded.search(X[::100], 5)
+    np.testing.assert_array_equal(got.keys, want.keys)
+    np.testing.assert_allclose(got.distances, want.distances, atol=1e-5)
+
+    viewed = Index.restore(path, view=True)
+    assert viewed._ivf is not None and not viewed._ivf_dirty
+    got_v = viewed.search(X[::100], 5)
+    np.testing.assert_array_equal(got_v.keys, want.keys)
+
+    # buffer round trip too
+    from_buf = Index.restore(buf)
+    assert from_buf._ivf is not None and not from_buf._ivf_dirty
+    np.testing.assert_array_equal(from_buf.search(X[::100], 5).keys, want.keys)
+
+    # mutation after load invalidates the restored structure
+    loaded.add(99999, X[0] + 10)
+    assert loaded._ivf_dirty
+
+    # an index WITHOUT reorder saves no ivf section and still loads cleanly
+    plain = Index(ndim=16, metric="l2sq", dtype="f32")
+    plain.add(np.arange(50, dtype=np.uint64), X[:50])
+    plain.optimize(n_partitions=4)  # copied layout: not persisted
+    p2 = str(tmp_path / "plain.usearch")
+    plain.save(p2)
+    again = Index.restore(p2)
+    assert again._ivf is None
+    np.testing.assert_array_equal(again.search(X[:2], 3).keys[:, 0], [0, 1])

@@ -16,6 +16,12 @@ Format v1 (little-endian):
     [20:20+H) JSON  {metric, dtype, ndim, count, multi, row_bytes, set_index, library_version}
     then     count × u64 keys
     then     count × row_bytes vector rows (stored representation, unpadded)
+    then     (optional, header has "ivf") the dense in-place IVF structure:
+             n_chunks × centroid_width f32 centroids, n_chunks i32 starts,
+             n_chunks i32 lens — saved only when the table is cluster-major
+             (optimize(reorder=True)) and clean, so a loaded/viewed index
+             serves partitioned scans immediately instead of re-running the
+             quantizer fit (hours at 100M rows).
 """
 
 from __future__ import annotations
@@ -68,30 +74,62 @@ def _header_dict(index, count: int) -> dict:
     }
 
 
+def _ivf_header_and_payload(index):
+    """Dense in-place IVF structure → (header dict, payload bytes), or
+    (None, b"") when there is nothing durable to save. Only the cluster-major
+    layout persists: its positions survive the save/load round trip (live
+    slots are dense 0..count), while the copied layout is cheap to rebuild."""
+    ivf = getattr(index, "_ivf", None)
+    if (
+        ivf is None
+        or getattr(index, "_ivf_dirty", True)
+        or ivf.inplace_shape is None
+        or ivf.starts is None
+    ):
+        return None, b""
+    cents = np.ascontiguousarray(np.asarray(ivf.centroids), dtype="<f4")
+    starts = np.ascontiguousarray(np.asarray(ivf.starts), dtype="<i4")
+    lens = np.ascontiguousarray(np.asarray(ivf.lens), dtype="<i4")
+    head = {
+        "n_chunks": int(starts.shape[0]),
+        "p_win": int(ivf.p_win),
+        "block": int(ivf.block),
+        "avg_rows": float(ivf.avg_rows_per_part),
+        "built_count": int(ivf.built_count),
+        "centroid_width": int(cents.shape[1]),
+    }
+    return head, cents.tobytes() + starts.tobytes() + lens.tobytes()
+
+
 def _serialize(index) -> tuple:
     rows = _logical_rows_np(index)
     keys = index._live_keys().astype("<u8")
-    header = json.dumps(_header_dict(index, len(keys))).encode()
+    header_dict = _header_dict(index, len(keys))
+    ivf_head, ivf_payload = _ivf_header_and_payload(index)
+    if ivf_head is not None:
+        header_dict["ivf"] = ivf_head
+    header = json.dumps(header_dict).encode()
     head = bytearray()
     head += MAGIC
     head += int(FORMAT_VERSION).to_bytes(2, "little")
     head += (0).to_bytes(2, "little")
     head += len(header).to_bytes(4, "little")
     head += header
-    return bytes(head), keys, rows
+    return bytes(head), keys, rows, ivf_payload
 
 
 def save_index(index, path: str, progress=None) -> None:
-    head, keys, rows = _serialize(index)
+    head, keys, rows, ivf_payload = _serialize(index)
     with open(path, "wb") as f:
         f.write(head)
         f.write(keys.tobytes())
         f.write(np.ascontiguousarray(rows).tobytes())
+        f.write(ivf_payload)
 
 
 def save_index_to_buffer(index) -> bytes:
-    head, keys, rows = _serialize(index)
-    return head + keys.tobytes() + np.ascontiguousarray(rows).tobytes()
+    head, keys, rows, ivf_payload = _serialize(index)
+    return head + keys.tobytes() + np.ascontiguousarray(rows).tobytes() + ivf_payload
 
 
 def _parse_header(raw: bytes):
@@ -178,11 +216,63 @@ def _rows_from_bytes(buf, offset: int, meta: dict) -> np.ndarray:
 def load_index_into(index, path: str, view: bool = False) -> None:
     meta, keys, rows = _load_arrays(path, view)
     _populate(index, meta, keys, rows)
+    _restore_ivf(index, meta, path, rows)
 
 
 def load_index_from_buffer(index, buffer) -> None:
     meta, keys, rows = _load_arrays(buffer, view=False)
     _populate(index, meta, keys, rows)
+    _restore_ivf(index, meta, bytes(buffer), rows)
+
+
+def _restore_ivf(index, meta: dict, source, rows: np.ndarray) -> None:
+    """Rehydrate the dense in-place IVF structure saved by `save_index` —
+    a loaded/viewed cluster-major index serves partitioned scans without
+    re-running the quantizer (the reference's `view` likewise restores its
+    ANN structure from the mmap, index.hpp:3504-3572)."""
+    info = meta.get("ivf")
+    if not info:
+        return
+    import jax.numpy as jnp
+
+    from .ivf import IVFPartitions
+
+    c = int(info["n_chunks"])
+    wc = int(info["centroid_width"])
+    count = meta["count"]
+    # tail begins after: header, keys, rows (on-disk representation)
+    if isinstance(source, (bytes, bytearray)):
+        raw = bytes(source)
+        _, off = _parse_header(raw[:4096])
+        tail = off + count * 8 + rows.nbytes
+        cents = np.frombuffer(raw, dtype="<f4", count=c * wc, offset=tail)
+        starts = np.frombuffer(raw, dtype="<i4", count=c, offset=tail + c * wc * 4)
+        lens = np.frombuffer(raw, dtype="<i4", count=c, offset=tail + c * wc * 4 + c * 4)
+    else:
+        path = os.fspath(source)
+        with open(path, "rb") as f:
+            head = f.read(4096)
+        _, off = _parse_header(head)
+        tail = off + count * 8 + rows.nbytes
+        cents = np.fromfile(path, dtype="<f4", count=c * wc, offset=tail)
+        starts = np.fromfile(path, dtype="<i4", count=c, offset=tail + c * wc * 4)
+        lens = np.fromfile(path, dtype="<i4", count=c, offset=tail + c * wc * 4 + c * 4)
+    if cents.size != c * wc or starts.size != c or lens.size != c:
+        return  # truncated tail: serve without the structure
+    index._ivf = IVFPartitions(
+        centroids=jnp.asarray(cents.reshape(c, wc)),
+        part_table=None,
+        part_stats=None,
+        part_slots=None,
+        avg_rows=float(info["avg_rows"]),
+        built_count=int(info["built_count"]),
+        inplace_shape=(c, int(info["p_win"])),
+        starts=jnp.asarray(starts),
+        lens=jnp.asarray(lens),
+        p_win=int(info["p_win"]),
+        block=int(info["block"]),
+    )
+    index._ivf_dirty = False
 
 
 def _populate(index, meta: dict, keys: np.ndarray, rows: np.ndarray) -> None:
