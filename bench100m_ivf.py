@@ -118,7 +118,8 @@ def main():
 
     # ---- coarse quantizer (the expensive step) ----
     assigns, _, centroids = kmeans_hierarchical(
-        table, N_CENTROIDS, metric=MetricKind.IP, max_iterations=20, seed=0
+        table, N_CENTROIDS, metric=MetricKind.IP, max_iterations=20, seed=0,
+        return_dists=False,
     )
     ncent = centroids.shape[0]
     log(f"quantizer fit: {ncent} centroids")

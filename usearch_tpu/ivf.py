@@ -106,7 +106,8 @@ class IVFPartitions:
             from .kmeans import kmeans_hierarchical
 
             assigns, _, centroids = kmeans_hierarchical(
-                rows, n_partitions, metric=km_metric, max_iterations=25, seed=0
+                rows, n_partitions, metric=km_metric, max_iterations=25, seed=0,
+                return_dists=False,
             )
         else:
             assigns, _, centroids = kmeans_fit(

@@ -267,6 +267,7 @@ def kmeans_hierarchical(
     sample: int = 1 << 20,
     max_iterations: int = 25,
     seed: Optional[int] = None,
+    return_dists: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Two-level k-means for large k / large N — the coarse-quantizer trainer
     for IVF at 100M+ rows, where flat Lloyd's (cost ∝ N·k·D per iteration)
@@ -336,6 +337,10 @@ def kmeans_hierarchical(
         centroids_out.append(sub_cents)
 
     centroids = np.concatenate(centroids_out) if centroids_out else np.zeros((0, d), np.float32)
+    if not return_dists:
+        # IVF builds only need assignments — the distance pass re-reads the
+        # whole table and ships [N] f32 to host (400 MB at 100M rows)
+        return assigns, np.zeros(0, np.float32), centroids.astype(np.float32)
     # distances to the assigned centroid, computed in tiles (no full-table
     # f32 temporaries)
     cents_dev = jnp.asarray(centroids)
