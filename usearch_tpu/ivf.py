@@ -385,6 +385,87 @@ def _ivf_probe_search(
     return d_all, i_all.astype(jnp.int32)
 
 
+def _dense_probe_core(
+    metric, kind, qc, qsc, prc, starts, lens, valid, tblk, sblk, cap2, block, nblk, k
+):
+    """Score one query chunk against its probed windows in the dense layout.
+    Traceable core shared by the single-chip probe and the sharded
+    (shard_map) probe. Returns (dists [chunk, k], local positions [chunk, k])."""
+    chunk, nprobe = prc.shape
+    nb = tblk.shape[0]
+    r = nblk * block
+    st = starts[prc]                                 # [chunk, nprobe]
+    ln = lens[prc]
+    blk0 = st // block
+    bidx = jnp.minimum(
+        blk0[:, :, None]
+        + jax.lax.broadcasted_iota(jnp.int32, (chunk, nprobe, nblk), 2),
+        nb - 1,
+    )
+    rows = tblk[bidx].reshape(chunk, nprobe * r, -1)  # block gather
+    # global positions of the gathered rows (positions ARE slots)
+    cand = (
+        (blk0 * block)[:, :, None]
+        + jax.lax.broadcasted_iota(jnp.int32, (chunk, nprobe, r), 2)
+    ).reshape(chunk, nprobe * r)
+    st_f = jnp.repeat(st, r, axis=1)
+    ln_f = jnp.repeat(ln, r, axis=1)
+    in_win = (cand >= st_f) & (cand < st_f + ln_f) & (cand < cap2)
+    safe_cand = jnp.minimum(cand, cap2 - 1)
+    ok = in_win & valid[safe_cand]
+
+    if kind == ScalarKind.I8:
+        d_ = jnp.einsum(
+            "qd,qrd->qr", qc.astype(jnp.int32), rows.astype(jnp.int32)
+        ).astype(jnp.float32)
+    elif qc.dtype == jnp.float32:
+        d_ = jnp.einsum("qd,qrd->qr", qc, rows, precision=jax.lax.Precision.HIGHEST)
+    else:
+        d_ = jnp.einsum("qd,qrd->qr", qc, rows, preferred_element_type=jnp.float32)
+    q_sq, q_sum = qsc[:, 0], qsc[:, 1]
+    d_ = d_.astype(jnp.float32)
+    if metric == MetricKind.IP:
+        dist = 1.0 - d_
+    elif metric == MetricKind.Cos:
+        t_sq = sblk[bidx][..., 0].reshape(chunk, nprobe * r)
+        denom = jnp.sqrt(q_sq)[:, None] * jnp.sqrt(t_sq)
+        safe_d = jnp.where(denom == 0, 1.0, denom)
+        base = 1.0 - d_ / safe_d
+        one_zero = (q_sq[:, None] == 0) ^ (t_sq == 0)
+        both_zero = (q_sq[:, None] == 0) & (t_sq == 0)
+        dist = jnp.where(both_zero, 0.0, jnp.where(one_zero, 1.0, base))
+    else:  # L2sq
+        t_sq = sblk[bidx][..., 0].reshape(chunk, nprobe * r)
+        dist = jnp.maximum(q_sq[:, None] + t_sq - 2.0 * d_, 0.0)
+    dist = jnp.where(ok, dist, MASKED)
+    kk = min(k, dist.shape[1])
+    neg, sel = jax.lax.top_k(-dist, kk)
+    ids = jnp.take_along_axis(cand, sel, axis=1)
+    d_out = -neg
+    ids = jnp.where(d_out >= MASKED / 2, -1, ids)
+    if k > kk:
+        extra = k - kk
+        d_out = jnp.concatenate([d_out, jnp.full((chunk, extra), MASKED)], axis=1)
+        ids = jnp.concatenate([ids, jnp.full((chunk, extra), -1, jnp.int32)], axis=1)
+    return d_out, ids
+
+
+def _score_centroids(metric, qf, centroids, lens=None):
+    """Rank partitions for probing; empty (len 0) chunks rank last."""
+    dots = jax.lax.dot_general(
+        qf, centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if metric == MetricKind.L2sq:
+        c_sq = jnp.sum(centroids * centroids, axis=1)
+        q_sq0 = jnp.sum(qf * qf, axis=1, keepdims=True)
+        cdist = q_sq0 + c_sq[None, :] - 2.0 * dots
+    else:
+        cdist = -dots
+    if lens is not None:
+        cdist = cdist + jnp.where(lens == 0, MASKED, 0.0)[None, :]
+    return cdist
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 9, 10, 11, 12, 13))
 def _ivf_probe_search_dense(
     metric: MetricKind,
@@ -415,15 +496,7 @@ def _ivf_probe_search_dense(
     q_stats = row_stats(q, kind)
     qf = q.astype(jnp.float32)
 
-    dots = jax.lax.dot_general(
-        qf, centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    if metric == MetricKind.L2sq:
-        c_sq = jnp.sum(centroids * centroids, axis=1)
-        q_sq0 = jnp.sum(qf * qf, axis=1, keepdims=True)
-        cdist = q_sq0 + c_sq[None, :] - 2.0 * dots
-    else:
-        cdist = -dots
+    cdist = _score_centroids(metric, qf, centroids)
     _, probes = jax.lax.top_k(-cdist, nprobe)  # [Q, nprobe]
 
     tblk = table.reshape(nb, block, -1)
@@ -450,60 +523,10 @@ def _ivf_probe_search_dense(
 
     def one_chunk(args):
         qc, qsc, prc = args
-        st = starts[prc]                                 # [chunk, nprobe]
-        ln = lens[prc]
-        blk0 = st // block
-        bidx = jnp.minimum(
-            blk0[:, :, None]
-            + jax.lax.broadcasted_iota(jnp.int32, (chunk, nprobe, nblk), 2),
-            nb - 1,
+        return _dense_probe_core(
+            metric, kind, qc, qsc, prc, starts, lens, valid, tblk, sblk,
+            cap2, block, nblk, k,
         )
-        rows = tblk[bidx].reshape(chunk, nprobe * r, -1)  # block gather
-        # global positions of the gathered rows (positions ARE slots)
-        cand = (
-            (blk0 * block)[:, :, None]
-            + jax.lax.broadcasted_iota(jnp.int32, (chunk, nprobe, r), 2)
-        ).reshape(chunk, nprobe * r)
-        st_f = jnp.repeat(st, r, axis=1)
-        ln_f = jnp.repeat(ln, r, axis=1)
-        in_win = (cand >= st_f) & (cand < st_f + ln_f) & (cand < cap2)
-        safe_cand = jnp.minimum(cand, cap2 - 1)
-        ok = in_win & valid[safe_cand]
-
-        if kind == ScalarKind.I8:
-            d_ = jnp.einsum(
-                "qd,qrd->qr", qc.astype(jnp.int32), rows.astype(jnp.int32)
-            ).astype(jnp.float32)
-        elif qc.dtype == jnp.float32:
-            d_ = jnp.einsum("qd,qrd->qr", qc, rows, precision=jax.lax.Precision.HIGHEST)
-        else:
-            d_ = jnp.einsum("qd,qrd->qr", qc, rows, preferred_element_type=jnp.float32)
-        q_sq, q_sum = qsc[:, 0], qsc[:, 1]
-        d_ = d_.astype(jnp.float32)
-        if metric == MetricKind.IP:
-            dist = 1.0 - d_
-        elif metric == MetricKind.Cos:
-            t_sq = sblk[bidx][..., 0].reshape(chunk, nprobe * r)
-            denom = jnp.sqrt(q_sq)[:, None] * jnp.sqrt(t_sq)
-            safe_d = jnp.where(denom == 0, 1.0, denom)
-            base = 1.0 - d_ / safe_d
-            one_zero = (q_sq[:, None] == 0) ^ (t_sq == 0)
-            both_zero = (q_sq[:, None] == 0) & (t_sq == 0)
-            dist = jnp.where(both_zero, 0.0, jnp.where(one_zero, 1.0, base))
-        else:  # L2sq
-            t_sq = sblk[bidx][..., 0].reshape(chunk, nprobe * r)
-            dist = jnp.maximum(q_sq[:, None] + t_sq - 2.0 * d_, 0.0)
-        dist = jnp.where(ok, dist, MASKED)
-        kk = min(k, dist.shape[1])
-        neg, sel = jax.lax.top_k(-dist, kk)
-        ids = jnp.take_along_axis(cand, sel, axis=1)
-        d_out = -neg
-        ids = jnp.where(d_out >= MASKED / 2, -1, ids)
-        if k > kk:
-            extra = k - kk
-            d_out = jnp.concatenate([d_out, jnp.full((chunk, extra), MASKED)], axis=1)
-            ids = jnp.concatenate([ids, jnp.full((chunk, extra), -1, jnp.int32)], axis=1)
-        return d_out, ids
 
     d_all, i_all = jax.lax.map(one_chunk, (q_c, qs_c, pr_c))
     d_all = d_all.reshape(n_chunks * chunk, k)[:n_q]

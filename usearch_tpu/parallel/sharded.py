@@ -95,12 +95,109 @@ def sharded_search_kernel(
     )(q, q_stats, table, stats, valid)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "metric", "kind", "ndim", "k", "nprobe", "p_win", "block", "mesh", "axis"
+    ),
+)
+def sharded_ivf_kernel(
+    q,
+    cents,     # [S*C, W] f32, sharded on axis 0 (per-chunk centroids)
+    starts,    # [S*C] i32 shard-local row offsets
+    lens,      # [S*C] i32 chunk lengths (0 = padding chunk)
+    table,     # [S*per_shard, W] cluster-major per shard
+    stats,     # [S*per_shard, 2]
+    valid,     # [S*per_shard] bool
+    *,
+    metric: MetricKind,
+    kind: ScalarKind,
+    ndim: int,
+    k: int,
+    nprobe: int,
+    p_win: int,
+    block: int,
+    mesh: Mesh,
+    axis: str = SHARD_AXIS,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sharded IVF probe: every chip scores ITS OWN shard's chunk centroids,
+    probes `nprobe` local partitions (block-gathered dense windows, see
+    ivf._dense_probe_core), then the per-shard top-k merge over ICI —
+    the exact-kernel merge with probed candidates. Scanned rows per query:
+    S × nprobe × ~p_win instead of the whole table."""
+    from ..ivf import _QUERY_CHUNK, _dense_probe_core, _score_centroids
+
+    q_stats = row_stats(q, kind)
+
+    def local(q, q_stats, cents, starts, lens, table, stats, valid):
+        shard_id = jax.lax.axis_index(axis)
+        per_shard = table.shape[0]
+        nb = per_shard // block
+        tblk = table.reshape(nb, block, -1)
+        sblk = stats.reshape(nb, block, 2) if metric != MetricKind.IP else None
+
+        qf = q.astype(jnp.float32)
+        cdist = _score_centroids(metric, qf, cents, lens)
+        _, probes = jax.lax.top_k(-cdist, nprobe)  # [Q, nprobe]
+
+        n_q = q.shape[0]
+        nblk = (p_win - 1) // block + 2
+        chunk = min(_QUERY_CHUNK, n_q)
+        n_chunks = (n_q + chunk - 1) // chunk
+        pad = n_chunks * chunk - n_q
+        qp, qsp, prp = q, q_stats, probes
+        if pad:
+            qp = jnp.concatenate([qp, qp[:pad]])
+            qsp = jnp.concatenate([qsp, qsp[:pad]])
+            prp = jnp.concatenate([prp, prp[:pad]])
+
+        def one_chunk(args):
+            qc, qsc, prc = args
+            return _dense_probe_core(
+                metric, kind, qc, qsc, prc, starts, lens, valid, tblk, sblk,
+                per_shard, block, nblk, k,
+            )
+
+        d, i = jax.lax.map(
+            one_chunk,
+            (
+                qp.reshape(n_chunks, chunk, -1),
+                qsp.reshape(n_chunks, chunk, 2),
+                prp.reshape(n_chunks, chunk, nprobe),
+            ),
+        )
+        d = d.reshape(n_chunks * chunk, k)[:n_q]
+        i = i.reshape(n_chunks * chunk, k)[:n_q]
+        i = jnp.where(i >= 0, i + shard_id * per_shard, -1)
+
+        d_all = jax.lax.all_gather(d, axis)  # [S, Q, k]
+        i_all = jax.lax.all_gather(i, axis)
+        s, n_q2, _ = d_all.shape
+        d_flat = jnp.moveaxis(d_all, 0, 1).reshape(n_q2, s * k)
+        i_flat = jnp.moveaxis(i_all, 0, 1).reshape(n_q2, s * k)
+        neg, sel = jax.lax.top_k(-d_flat, k)
+        out_d = -neg
+        out_i = jnp.take_along_axis(i_flat, sel, axis=1)
+        out_i = jnp.where(out_d >= MASKED / 2, -1, out_i)
+        return out_d, out_i
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(q, q_stats, cents, starts, lens, table, stats, valid)
+
+
 class ShardedIndex:
     """A read-optimized index whose rows are sharded across a device mesh.
 
     Build it from numpy arrays (`ShardedIndex.build`), from an existing
     single-chip `Index` (`from_index`), or mount saved shard files
     (`mount`) — the multi-chip successor of the reference's `Indexes` view.
+    `optimize()` builds a per-shard IVF (dense cluster-major layout inside
+    every shard) so searches probe partitions instead of scanning.
     """
 
     def __init__(self, mesh, metric, kind, ndim, table, stats, valid, keys):
@@ -113,6 +210,7 @@ class ShardedIndex:
         self._valid = valid
         self._keys = keys  # host np.uint64 [rows]
         self._count = int(np.asarray(jax.device_get(valid)).sum())
+        self._ivf = None  # dict: cents/starts/lens (+ static p_win/block/avg)
 
     # -- constructors ---------------------------------------------------
 
@@ -252,12 +350,140 @@ class ShardedIndex:
             rows, keys, metric=meta0["metric"], dtype=meta0["dtype"], mesh=mesh
         )
 
+    # -- IVF ---------------------------------------------------------------
+
+    def optimize(self, n_partitions: Optional[int] = None) -> None:
+        """Build a per-shard IVF: fit a k-means quantizer inside every shard,
+        permute each shard's rows into the DENSE cluster-major layout
+        (ivf.py), and keep per-chunk centroids/starts/lens mesh-sharded.
+        Chunk counts pad to the max across shards (static shapes); padding
+        chunks have len 0 and rank last in the probe scoring.
+
+        ``n_partitions`` is PER SHARD (default ~√rows_per_shard)."""
+        import math
+
+        from ..kmeans import kmeans_fit, kmeans_hierarchical
+
+        if self.kind == ScalarKind.B1 or self.metric not in (
+            MetricKind.Cos, MetricKind.IP, MetricKind.L2sq,
+        ):
+            raise ValueError("sharded IVF supports cos/ip/l2sq over non-binary dtypes")
+        block = 256
+        n_shards = self.mesh.shape[SHARD_AXIS]
+        per_shard = self._table.shape[0] // n_shards
+        table_np = np.asarray(jax.device_get(self._table))
+        valid_np = np.asarray(jax.device_get(self._valid))
+        width = table_np.shape[1]
+
+        shard_layouts = []
+        for s in range(n_shards):
+            lo = s * per_shard
+            live = np.nonzero(valid_np[lo : lo + per_shard])[0]
+            n_live = len(live)
+            if n_live == 0:
+                shard_layouts.append((np.zeros(0, np.int64), [], [], np.zeros((0, width), np.float32)))
+                continue
+            c_want = n_partitions or max(1, int(math.sqrt(n_live)))
+            c_want = min(c_want, n_live)
+            rows_live = jnp.asarray(table_np[lo + live])
+            if c_want > 4096:
+                assigns, _, cents = kmeans_hierarchical(
+                    rows_live, c_want, metric=self.metric, max_iterations=25,
+                    seed=0, return_dists=False,
+                )
+            else:
+                assigns, _, cents = kmeans_fit(
+                    rows_live, c_want, metric=self.metric, max_iterations=25, seed=0
+                )
+            c = cents.shape[0]
+            counts = np.bincount(assigns, minlength=c)
+            avg = max(int(np.ceil(n_live / max(c, 1))), 1)
+            p_cap = ((int(1.5 * avg) + 7) // 8) * 8
+            order = np.argsort(assigns, kind="stable")
+            sorted_slots = live[order]
+            bounds = np.searchsorted(assigns[order], np.arange(c + 1))
+            starts_s, lens_s, cents_s = [], [], []
+            pos = 0
+            for ci in range(c):
+                size = int(bounds[ci + 1] - bounds[ci])
+                off = 0
+                while off < size:
+                    take = min(size - off, p_cap)
+                    starts_s.append(pos + off)
+                    lens_s.append(take)
+                    cents_s.append(cents[ci])
+                    off += take
+                pos += size
+            shard_layouts.append(
+                (sorted_slots, starts_s, lens_s,
+                 np.stack(cents_s) if cents_s else np.zeros((0, width), np.float32))
+            )
+
+        c_max = max(max(len(l[1]) for l in shard_layouts), 1)
+        p_win = max(
+            ((max((max(l[2]) if l[2] else 1) for l in shard_layouts) + 7) // 8) * 8, 8
+        )
+        per_shard2 = pad_rows(per_shard, block)
+
+        new_table = np.zeros((n_shards * per_shard2, width), table_np.dtype)
+        new_valid = np.zeros(n_shards * per_shard2, bool)
+        new_keys = np.zeros(n_shards * per_shard2, np.uint64)
+        all_cents = np.zeros((n_shards * c_max, width), np.float32)
+        all_starts = np.zeros(n_shards * c_max, np.int32)
+        all_lens = np.zeros(n_shards * c_max, np.int32)
+        for s, (sorted_slots, starts_s, lens_s, cents_s) in enumerate(shard_layouts):
+            lo_old, lo_new = s * per_shard, s * per_shard2
+            n_live = len(sorted_slots)
+            new_table[lo_new : lo_new + n_live] = table_np[lo_old + sorted_slots]
+            new_valid[lo_new : lo_new + n_live] = True
+            new_keys[lo_new : lo_new + n_live] = self._keys[lo_old + sorted_slots]
+            cc = len(starts_s)
+            all_cents[s * c_max : s * c_max + cc] = cents_s
+            all_starts[s * c_max : s * c_max + cc] = starts_s
+            all_lens[s * c_max : s * c_max + cc] = lens_s
+
+        sharding = NamedSharding(self.mesh, P(SHARD_AXIS))
+        jdt = to_jax_dtype(self.kind)
+        self._table = jax.device_put(jnp.asarray(new_table, dtype=jdt), sharding)
+        self._stats = jax.device_put(row_stats(self._table, self.kind), sharding)
+        self._valid = jax.device_put(jnp.asarray(new_valid), sharding)
+        self._keys = new_keys
+        self._ivf = {
+            "cents": jax.device_put(jnp.asarray(all_cents), sharding),
+            "starts": jax.device_put(jnp.asarray(all_starts), sharding),
+            "lens": jax.device_put(jnp.asarray(all_lens), sharding),
+            "p_win": int(p_win),
+            "block": block,
+            "c_max": int(c_max),
+            "avg_rows": float(max(self._count / max(n_shards * c_max, 1), 1.0)),
+        }
+
+    def nprobe_for(self, expansion_search: int = 64, connectivity: int = 16) -> int:
+        """Probe budget per shard from the reference's ef semantics."""
+        assert self._ivf is not None
+        budget = max(expansion_search, 1) * max(connectivity, 1)
+        import math
+
+        return int(
+            np.clip(
+                math.ceil(budget / self._ivf["avg_rows"]), 1, self._ivf["c_max"]
+            )
+        )
+
     # -- search ---------------------------------------------------------
 
     def __len__(self) -> int:
         return self._count
 
-    def search(self, vectors: np.ndarray, count: int = 10, **kwargs) -> BatchMatches:
+    def search(
+        self,
+        vectors: np.ndarray,
+        count: int = 10,
+        *,
+        exact: bool = False,
+        expansion_search: int = 64,
+        **kwargs,
+    ) -> BatchMatches:
         vectors = np.atleast_2d(np.asarray(vectors))
         single = np.asarray(vectors).ndim == 1
         n_q = vectors.shape[0]
@@ -275,6 +501,33 @@ class ShardedIndex:
 
         n_shards = self.mesh.shape[SHARD_AXIS]
         shard_rows = self._table.shape[0] // n_shards
+
+        if self._ivf is not None and not exact:
+            d, i = sharded_ivf_kernel(
+                q,
+                self._ivf["cents"],
+                self._ivf["starts"],
+                self._ivf["lens"],
+                self._table,
+                self._stats,
+                self._valid,
+                metric=self.metric,
+                kind=self.kind,
+                ndim=self.ndim,
+                k=k,
+                nprobe=self.nprobe_for(expansion_search),
+                p_win=self._ivf["p_win"],
+                block=self._ivf["block"],
+                mesh=self.mesh,
+                axis=SHARD_AXIS,
+            )
+            d = np.asarray(jax.device_get(d))[:n_q]
+            i = np.asarray(jax.device_get(i))[:n_q]
+            found = i >= 0
+            keys = np.where(found, self._keys[np.clip(i, 0, None)], 0).astype(np.uint64)
+            counts = found.sum(axis=1).astype(np.uint64)
+            return BatchMatches(keys=keys, distances=d.astype(np.float32), counts=counts)
+
         row_bytes = self._table.shape[1] * self._table.dtype.itemsize
         tile_rows = pick_tile_rows(shard_rows, row_bytes, self.metric, self.ndim, q_pad)
         while shard_rows % tile_rows:
