@@ -167,6 +167,7 @@ def kmeans_fit(
     min_shift: float = 0.01,
     seed: Optional[int] = None,
     fused: bool = False,
+    n_valid: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Lloyd's algorithm on TPU. Returns (assignments i32 [N],
     distances f32 [N], centroids f32 [k, D]).
@@ -175,7 +176,9 @@ def kmeans_fit(
     host, which matters when the table already lives in HBM (IVF builds).
     ``fused=True`` runs exactly ``max_iterations`` Lloyd steps inside one
     jitted program (no early exits, no per-iteration host sync) — the right
-    mode for the many sub-fits of a hierarchical build."""
+    mode for the many sub-fits of a hierarchical build.
+    ``n_valid``: rows past this index are PADDING (copies of row 0, the
+    caller bucketed its gather shape); results cover only the first n_valid."""
     if isinstance(points, jnp.ndarray):
         points_dev = points  # keep storage dtype; kernels cast per tile
     else:
@@ -183,6 +186,8 @@ def kmeans_fit(
             np.ascontiguousarray(np.atleast_2d(points), dtype=np.float32)
         )
     n, d = points_dev.shape
+    if n_valid is not None:
+        n = int(n_valid)
     k = int(min(k, n))
     rng = np.random.default_rng(seed)
 
@@ -192,14 +197,14 @@ def kmeans_fit(
     # recompile minutes, not seconds)
     tile_rows = min(_ASSIGN_TILE, max(8, 1 << (n - 1).bit_length()))
     n_pad = max(tile_rows, 1 << (n - 1).bit_length())
-    if n_pad > n:
+    if points_dev.shape[0] >= n_pad:
+        pts_dev = points_dev[:n_pad]  # caller pre-padded (bucketed gather)
+    else:
         # pad with copies of row 0; padded rows are sliced away from results
         # but DO enter centroid sums — compensate by subtracting them below.
         pts_dev = jnp.concatenate(
-            [points_dev, jnp.broadcast_to(points_dev[:1], (n_pad - n, d))]
+            [points_dev, jnp.broadcast_to(points_dev[:1], (n_pad - points_dev.shape[0], d))]
         )
-    else:
-        pts_dev = points_dev
 
     if k <= _KMEANSPP_MAX_K:
         jkey = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
@@ -324,13 +329,21 @@ def kmeans_hierarchical(
             sub_assign = np.arange(len(members), dtype=np.int64)
             sub_cents = np.asarray(pts[jnp.asarray(members)], dtype=np.float32)
         else:
+            # bucket the GATHER shape too: an exact-size gather would compile
+            # one program per distinct member count (k1 of them — minutes
+            # each on remote-compile targets); pad indices to pow2 with
+            # copies of member 0 (kmeans_fit's n_valid contract)
+            m = len(members)
+            m_pad = 1 << (m - 1).bit_length()
+            idx = np.concatenate([members, np.full(m_pad - m, members[0])])
             sub_assign, _, sub_cents = kmeans_fit(
-                pts[jnp.asarray(members)],
+                pts[jnp.asarray(idx)],
                 sub_k,
                 metric=metric,
                 max_iterations=max_iterations,
                 seed=seed,
                 fused=True,
+                n_valid=m,
             )
         base = sum(x.shape[0] for x in centroids_out)
         assigns[members] = sub_assign + base
