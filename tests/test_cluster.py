@@ -204,3 +204,16 @@ def test_ivf_dense_full_probe_equals_exact(rng, metric):
     index._ivf_dirty = False  # keep the structure; the valid mask filters
     after = index.search(Q[:1], 7)
     assert victim not in after.keys
+
+
+def test_kmeans_fit_n_valid_padding_contract(rng):
+    """Pre-padded points (bucketed gather) + n_valid must match fitting the
+    unpadded points exactly — padding rows are copies of row 0 and their
+    centroid contribution is compensated."""
+    X = _blobs(rng, 40, 3, 8, spread=0.1)  # 120 rows
+    pad = np.concatenate([X, np.repeat(X[:1], 8, axis=0)])  # 128 = pow2
+    a1, d1, c1 = kmeans_fit(X, 3, seed=0, fused=True, max_iterations=10)
+    a2, d2, c2 = kmeans_fit(pad, 3, seed=0, fused=True, max_iterations=10, n_valid=len(X))
+    assert a2.shape == (len(X),)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_allclose(c1, c2, atol=1e-5)

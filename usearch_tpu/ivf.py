@@ -9,10 +9,15 @@ bounds the HNSW beam: candidate rows scanned ≈ expansion_search ×
 connectivity, matching the reference's distance budget at equal recall
 targets (BENCHMARKS.md ef sweeps).
 
-Layout: `optimize()` builds a PARTITION-CONTIGUOUS copy of the live rows
-([C, P, D], cluster-major — the locality the reference's `compact` chases,
-index.hpp:3590-3682). Probing then gathers whole [P, D] blocks (long
-contiguous DMA reads) instead of scattered single rows.
+Layouts (both cluster-major — the locality the reference's `compact`
+chases, index.hpp:3590-3682):
+- `optimize()` builds a PARTITION-CONTIGUOUS copy of the live rows
+  ([C, P, D]); probing gathers whole [P, D] blocks. Fast build, 2x memory.
+- `optimize(reorder=True)` permutes the table ITSELF into dense cluster-major
+  order (starts/lens, no padding, zero extra memory — the 100M-in-one-chip
+  layout); probing gathers fixed 256-row blocks covering each partition
+  window and masks the overscan. The structure persists through
+  save/load/view (persist.py).
 """
 
 from __future__ import annotations
