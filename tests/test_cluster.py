@@ -198,10 +198,11 @@ def test_ivf_dense_full_probe_equals_exact(rng, metric):
     np.testing.assert_array_equal(ivf.keys, exact.keys)
     np.testing.assert_allclose(ivf.distances, exact.distances, atol=1e-4)
 
-    # deletions are respected without a rebuild
+    # deletions are respected WITHOUT a rebuild: the IVF stays live (the
+    # valid mask filters, the reference's free_key_ predicate)
     victim = int(exact.keys[0, 0])
     index.remove(victim)
-    index._ivf_dirty = False  # keep the structure; the valid mask filters
+    assert not index._ivf_dirty
     after = index.search(Q[:1], 7)
     assert victim not in after.keys
 

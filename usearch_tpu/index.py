@@ -712,7 +712,9 @@ class Index:
             self._valid = _invalidate_rows(self._valid, jnp.asarray(slots_pad, dtype=jnp.int32))
             self._free_slots.extend(all_slots)
             self._count -= len(all_slots)
-            self._ivf_dirty = True
+            # deletions do NOT invalidate the IVF: probe kernels filter by the
+            # live `valid` mask (the reference's free_key_ predicate,
+            # index_dense.hpp:2072-2084). Only adds/compact move positions.
         if compact and all_slots:
             self.compact()
         if single:
