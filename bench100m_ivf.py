@@ -173,12 +173,18 @@ def main():
     log("queries staged")
 
     # ---- exact ground truth + exact QPS ----
+    # NOTE: table/stats/valid MUST be explicit jit arguments — a closed-over
+    # device array is captured as a CONSTANT in the lowered module (12.9 GB
+    # shipped through the remote-compile tunnel).
     @jax.jit
-    def exact(q):
+    def exact_fn(q, table, stats, valid):
         qs = row_stats(q, ScalarKind.I8)
         return scan_topk(
             MetricKind.IP, ScalarKind.I8, q, qs, table, stats, valid, K, 65536, D, None, False
         )[1]
+
+    def exact(q):
+        return exact_fn(q, table, stats, valid)
 
     gt = [np.asarray(exact(qs)) for qs in qsets[:1]]  # compiles + warms
     t1 = time.perf_counter()
@@ -190,7 +196,8 @@ def main():
     # ---- IVF sweep ----
     results = []
     for nprobe in NPROBES:
-        def ivf(q):
+        def ivf(q, nprobe=nprobe):
+            # _ivf_probe_search_dense is itself jitted with array args
             return _ivf_probe_search_dense(
                 MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
                 starts_dev, lens_dev, D, K, nprobe, p_win, _DENSE_BLOCK,
