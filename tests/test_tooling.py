@@ -157,3 +157,26 @@ def test_pairwise_missing_key_raises():
     index.add(1, np.ones(4, np.float32))
     with pytest.raises((KeyError, IndexError)):
         index.pairwise_distance(1, 999)
+
+
+def test_probe_curve(rng):
+    """eval.probe_curve: recall rises monotonically-ish with the probe budget
+    and reaches 1.0 at full coverage (the reference's ef-sweep report)."""
+    from usearch_tpu import Index
+    from usearch_tpu.eval import probe_curve
+
+    centers = rng.standard_normal((6, 16)).astype(np.float32) * 3
+    X = np.concatenate(
+        [c + rng.standard_normal((100, 16)).astype(np.float32) * 0.3 for c in centers]
+    )
+    index = Index(ndim=16, metric="l2sq", dtype="f32")
+    index.add(np.arange(len(X), dtype=np.uint64), X)
+    index.optimize(n_partitions=8, reorder=True)
+
+    curve = probe_curve(index, X[::60], k=5, expansions=[1, 64, 100000])
+    assert curve[0]["nprobe"] >= 1
+    assert curve[-1]["recall"] == 1.0  # full probe == exact
+    assert curve[-1]["recall"] >= curve[0]["recall"]
+    assert all(c["qps"] > 0 for c in curve)
+    # index state restored
+    assert index._expansion_search == 64

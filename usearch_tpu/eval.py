@@ -337,3 +337,61 @@ class Evaluation:
         if post_clean:
             index.clear()
         return task_result.__dict__
+
+
+def probe_curve(
+    index,
+    queries: np.ndarray,
+    k: int = 10,
+    expansions: Optional[List[int]] = None,
+) -> List[dict]:
+    """Recall@k / QPS curve over the probe budget (`expansion_search`) — the
+    IVF analog of the reference's ef-sweep tables (BENCHMARKS.md: recall vs
+    expansion_search sweeps). Ground truth is the exact scan on the same
+    index. Requires a built IVF (`Index.optimize`); restores the index's
+    expansion_search afterwards.
+
+    Returns one dict per budget: {expansion_search, nprobe, rows_scanned,
+    qps, recall}.
+    """
+    import time
+
+    if index._ivf is None or index._ivf_dirty:
+        raise ValueError("probe_curve needs a built IVF: call Index.optimize() first")
+    queries = np.atleast_2d(np.asarray(queries))
+    expansions = expansions or [16, 32, 64, 128, 256, 512]
+
+    exact = index.search(queries, k, exact=True)
+    want = [set(row[: int(c)].tolist()) for row, c in zip(exact.keys, exact.counts)]
+
+    saved = index._expansion_search
+    out = []
+    try:
+        seen_nprobe = set()
+        for ef in expansions:
+            index._expansion_search = int(ef)
+            nprobe = index._ivf.nprobe_for(int(ef), index._connectivity)
+            if nprobe in seen_nprobe:
+                continue  # same probe count -> identical measurement
+            seen_nprobe.add(nprobe)
+            index.search(queries, k)  # warm/compile
+            t0 = time.perf_counter()
+            got = index.search(queries, k)
+            dt = max(time.perf_counter() - t0, 1e-9)
+            hits = sum(
+                len(set(row[: int(c)].tolist()) & w)
+                for row, c, w in zip(got.keys, got.counts, want)
+            )
+            denom = max(sum(len(w) for w in want), 1)
+            out.append(
+                {
+                    "expansion_search": int(ef),
+                    "nprobe": int(nprobe),
+                    "rows_scanned": int(index._ivf.scanned_rows(int(ef), index._connectivity)),
+                    "qps": len(queries) / dt,
+                    "recall": hits / denom,
+                }
+            )
+    finally:
+        index._expansion_search = saved
+    return out
