@@ -29,6 +29,11 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=8192)
     parser.add_argument("--exact", action="store_true", help="force exact scans")
     parser.add_argument("--ivf", action="store_true", help="build IVF partitions")
+    parser.add_argument("--reorder", action="store_true", help="in-place cluster-major IVF")
+    parser.add_argument(
+        "--probe-curve", action="store_true",
+        help="with --ivf: print the recall/QPS vs probe-budget sweep",
+    )
     parser.add_argument("--connectivity", type=int, default=16)
     parser.add_argument("--expansion-add", type=int, default=128)
     parser.add_argument("--expansion-search", type=int, default=64)
@@ -68,8 +73,13 @@ def main(argv=None):
 
     if args.ivf:
         t0 = time.perf_counter()
-        index.optimize()
+        index.optimize(reorder=args.reorder)
         print(f"ivf build: {time.perf_counter()-t0:.2f}s", flush=True)
+        if args.probe_curve:
+            from .eval import probe_curve
+
+            for point in probe_curve(index, queries, args.count):
+                print(json.dumps(point), flush=True)
 
     index.search(queries, args.count, exact=args.exact)  # warmup/compile
     t0 = time.perf_counter()
