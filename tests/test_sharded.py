@@ -138,3 +138,32 @@ def test_sharded_ivf_full_probe_equals_exact(rng, metric):
     # bounded probes on separated blobs: self-queries still at full recall
     got2 = sharded.search(queries, 1, expansion_search=64)
     np.testing.assert_array_equal(got2.keys[:, 0], want.keys[:, 0])
+
+
+def test_sharded_ivf_save_load_round_trip(rng, tmp_path):
+    """ShardedIndex.save after optimize persists the per-shard IVF; load on
+    a same-width mesh restores the exact layout and probes immediately."""
+    n, ndim = 800, 16
+    centers = rng.standard_normal((5, ndim)).astype(np.float32) * 3
+    dataset = np.concatenate(
+        [c + rng.standard_normal((160, ndim)).astype(np.float32) * 0.3 for c in centers]
+    )
+    keys = np.arange(n, dtype=np.uint64) + 11
+    mesh = make_mesh()
+    sharded = ShardedIndex.build(dataset, keys, metric="l2sq", mesh=mesh)
+    sharded.optimize(n_partitions=3)
+    queries = dataset[::97]
+    want = sharded.search(queries, 5, expansion_search=100000)
+
+    d = str(tmp_path / "pool")
+    sharded.save(d)
+    loaded = ShardedIndex.load(d, mesh=mesh)
+    assert loaded._ivf is not None
+    got = loaded.search(queries, 5, expansion_search=100000)
+    np.testing.assert_array_equal(got.keys, want.keys)
+    np.testing.assert_allclose(got.distances, want.distances, atol=1e-3)
+
+    # exact scans agree too (layout permutation preserved keys/rows)
+    np.testing.assert_array_equal(
+        loaded.search(queries, 5, exact=True).keys, want.keys
+    )

@@ -25,13 +25,21 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..enums import MetricKind, ScalarKind, normalize_dtype, normalize_metric, to_jax_dtype
+from ..enums import (
+    MetricKind,
+    ScalarKind,
+    normalize_dtype,
+    normalize_metric,
+    to_jax_dtype,
+    to_numpy_dtype,
+)
 from ..exact import (
     input_kind_of,
     pad_queries,
     pad_rows,
     pick_tile_rows,
     prepare_rows,
+    storage_width,
 )
 from ..matches import BatchMatches
 from ..ops.distances import MASKED, row_stats, tile_dists
@@ -312,20 +320,82 @@ class ShardedIndex:
             "count": self._count,
             "shards": shard_files,
         }
+        if self._ivf is not None:
+            # persist the per-shard IVF (centroids/starts/lens + statics):
+            # a loaded pool probes immediately, no quantizer re-fit. NOTE the
+            # shard files above hold rows in the PERMUTED (cluster-major)
+            # order, so starts/lens stay valid after mount.
+            np.savez(
+                os.path.join(directory, "ivf.npz"),
+                cents=np.asarray(jax.device_get(self._ivf["cents"])),
+                starts=np.asarray(jax.device_get(self._ivf["starts"])),
+                lens=np.asarray(jax.device_get(self._ivf["lens"])),
+            )
+            manifest["ivf"] = {
+                "p_win": self._ivf["p_win"],
+                "block": self._ivf["block"],
+                "c_max": self._ivf["c_max"],
+                "avg_rows": self._ivf["avg_rows"],
+            }
         with open(os.path.join(directory, "manifest.json"), "w") as f:
             json.dump(manifest, f)
 
     @staticmethod
     def load(directory, *, mesh: Optional[Mesh] = None) -> "ShardedIndex":
         """Open a sharded directory written by `save` (reads the manifest and
-        mounts every shard across the mesh)."""
+        mounts every shard across the mesh). If the directory carries a
+        persisted per-shard IVF and the mesh width matches the shard count,
+        the exact per-shard layout is restored and searches probe
+        immediately; otherwise rows are re-sharded evenly (exact scans until
+        `optimize()` is re-run)."""
         import json
         import os
 
         with open(os.path.join(directory, "manifest.json")) as f:
             manifest = json.load(f)
         paths = [os.path.join(directory, s) for s in manifest["shards"]]
-        return ShardedIndex.mount(paths, mesh=mesh)
+        mesh = mesh or make_mesh()
+        info = manifest.get("ivf")
+        if info is None or mesh.shape[SHARD_AXIS] != len(paths):
+            return ShardedIndex.mount(paths, mesh=mesh)
+
+        from ..persist import _load_arrays
+
+        block = int(info["block"])
+        metric = normalize_metric(manifest["metric"])
+        kind = normalize_dtype(manifest["dtype"])
+        ndim = manifest["ndim"]
+        shard_data = [_load_arrays(p, view=True) for p in paths]
+        per_shard = pad_rows(max(max(len(k) for _, k, _ in shard_data), 1), block)
+        width = storage_width(kind, ndim)
+        n_shards = len(paths)
+        table_np = np.zeros((n_shards * per_shard, width), to_numpy_dtype(kind))
+        valid_np = np.zeros(n_shards * per_shard, bool)
+        keys_np = np.zeros(n_shards * per_shard, np.uint64)
+        for s, (_, keys, rows) in enumerate(shard_data):
+            lo = s * per_shard
+            rows = np.asarray(rows)
+            table_np[lo : lo + len(rows), : rows.shape[1]] = rows
+            valid_np[lo : lo + len(rows)] = True
+            keys_np[lo : lo + len(keys)] = keys
+
+        sharding = NamedSharding(mesh, P(SHARD_AXIS))
+        jdt = to_jax_dtype(kind)
+        table = jax.device_put(jnp.asarray(table_np, dtype=jdt), sharding)
+        stats = jax.device_put(row_stats(table, kind), sharding)
+        valid = jax.device_put(jnp.asarray(valid_np), sharding)
+        out = ShardedIndex(mesh, metric, kind, ndim, table, stats, valid, keys_np)
+        z = np.load(os.path.join(directory, "ivf.npz"))
+        out._ivf = {
+            "cents": jax.device_put(jnp.asarray(z["cents"]), sharding),
+            "starts": jax.device_put(jnp.asarray(z["starts"]), sharding),
+            "lens": jax.device_put(jnp.asarray(z["lens"]), sharding),
+            "p_win": int(info["p_win"]),
+            "block": block,
+            "c_max": int(info["c_max"]),
+            "avg_rows": float(info["avg_rows"]),
+        }
+        return out
 
     @staticmethod
     def mount(paths, *, mesh: Optional[Mesh] = None) -> "ShardedIndex":
