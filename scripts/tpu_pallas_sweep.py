@@ -79,6 +79,14 @@ for q_tile, t_tile in CONFIGS:
             MetricKind.IP, q, table, stats, valid, K, q_tile=qt_, t_tile=tt, transposed=True
         ),
     )
+    if DTYPE == "i8":
+        timeit(
+            f"binned_Tbf16 q={q_tile} t={t_tile}",
+            lambda q, qt_=q_tile, tt=t_tile: pallas_search_binned(
+                MetricKind.IP, q, table, stats, valid, K, q_tile=qt_, t_tile=tt,
+                transposed=True, compute_bf16=True,
+            ),
+        )
     timeit(
         f"binned   q={q_tile} t={t_tile}",
         lambda q, qt_=q_tile, tt=t_tile: pallas_search_binned(

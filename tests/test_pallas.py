@@ -175,3 +175,28 @@ def test_pallas_binned_transposed_matches(rng):
         )
         np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
         np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), rtol=1e-5)
+
+
+def test_pallas_binned_transposed_compute_bf16_i8(rng):
+    """i8 table + in-kernel bf16 compute: candidates match the exact-i8
+    transposed variant within bf16 rounding (top-1 equal on separated data)."""
+    from usearch_tpu.ops.pallas_scan import pallas_search_binned
+
+    n, d, q_n, k = 4096, 128, 256, 4
+    x = rng.standard_normal((n, d))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    table = jnp.asarray(np.clip(np.round(x * 127), -127, 127), jnp.int8)
+    q = table[:q_n]
+    stats = row_stats(table, ScalarKind.I8)
+    valid = jnp.ones((n,), bool)
+    a = pallas_search_binned(
+        MetricKind.IP, q, table, stats, valid, k, q_tile=256, t_tile=1024,
+        interpret=True, transposed=True,
+    )
+    b = pallas_search_binned(
+        MetricKind.IP, q, table, stats, valid, k, q_tile=256, t_tile=1024,
+        interpret=True, transposed=True, compute_bf16=True,
+    )
+    # self-match (top-1) identical; distances within bf16 tolerance
+    np.testing.assert_array_equal(np.asarray(a[1][:, 0]), np.asarray(b[1][:, 0]))
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), rtol=0.02, atol=100.0)

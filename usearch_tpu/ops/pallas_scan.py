@@ -414,21 +414,35 @@ def _make_binned_kernel(metric: MetricKind, t_tile: int, split_dot: bool = False
     return kernel
 
 
-def _make_binned_t_kernel(metric: MetricKind, t_tile: int):
+def _make_binned_t_kernel(metric: MetricKind, t_tile: int, compute_bf16: bool = False):
     """Transposed merge-free cell: the matmul emits [t_tile, qt] so each
     128-row bin is a SUBLANE group — the per-bin min/argmin reduce along the
     sublane axis after a free major-dim reshape (no lane-dim slicing, no
     stack relayout; the lane-dim variant spends ~55% of its cell time in the
-    64 unrolled slice-mins)."""
+    64 unrolled slice-mins).
+
+    ``compute_bf16``: cast i8 tiles to bf16 in VMEM before the dot — i8 HBM
+    traffic with bf16 MXU throughput (Mosaic's int8 matmul measured 2.6×
+    slower than bf16 on v5e). ±127 products summed over ≤512 dims stay
+    within bf16's 8-bit mantissa ≈ 0.4% — fine for candidate GENERATION
+    (the binned approximation already tolerates more)."""
     n_bins = t_tile // _LANES
 
     def kernel(q_ref, q_aux_ref, tile_ref, t_aux_ref, out_v_ref, out_i_ref):
         ti = pl.program_id(1)
         qt = q_ref.shape[0]
-        acc = jnp.int32 if q_ref.dtype == jnp.int8 else jnp.float32
+        if compute_bf16 and q_ref.dtype == jnp.int8:
+            lhs, rhs, acc = (
+                tile_ref[:].astype(jnp.bfloat16),
+                q_ref[:].astype(jnp.bfloat16),
+                jnp.float32,
+            )
+        else:
+            lhs, rhs = tile_ref[:], q_ref[:]
+            acc = jnp.int32 if q_ref.dtype == jnp.int8 else jnp.float32
         dots = jax.lax.dot_general(
-            tile_ref[:],
-            q_ref[:],
+            lhs,
+            rhs,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=acc,
         )  # [t_tile, qt]
@@ -442,7 +456,7 @@ def _make_binned_t_kernel(metric: MetricKind, t_tile: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9, 10, 11))
 def pallas_search_binned(
     metric: MetricKind,
     q: jnp.ndarray,
@@ -455,6 +469,7 @@ def pallas_search_binned(
     interpret: bool = False,
     split_dot: bool = False,
     transposed: bool = False,
+    compute_bf16: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused scan, merge-free variant: the kernel emits per-bin minima
     [Q, N/128] (128× smaller than the score matrix) and one `approx_min_k`
@@ -476,7 +491,7 @@ def pallas_search_binned(
     q_aux = jnp.stack([jnp.sum(qf * qf, axis=1), jnp.sum(qf, axis=1)], axis=0)
 
     kernel = (
-        _make_binned_t_kernel(metric, t_tile)
+        _make_binned_t_kernel(metric, t_tile, compute_bf16)
         if transposed
         else _make_binned_kernel(metric, t_tile, split_dot)
     )
