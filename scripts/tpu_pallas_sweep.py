@@ -79,12 +79,26 @@ for q_tile, t_tile in CONFIGS:
             MetricKind.IP, q, table, stats, valid, K, q_tile=qt_, t_tile=tt, transposed=True
         ),
     )
+    timeit(
+        f"binned_Tc q={q_tile} t={t_tile}",
+        lambda q, qt_=q_tile, tt=t_tile: pallas_search_binned(
+            MetricKind.IP, q, table, stats, valid, K, q_tile=qt_, t_tile=tt,
+            transposed=True, compact=True,
+        ),
+    )
     if DTYPE == "i8":
         timeit(
             f"binned_Tbf16 q={q_tile} t={t_tile}",
             lambda q, qt_=q_tile, tt=t_tile: pallas_search_binned(
                 MetricKind.IP, q, table, stats, valid, K, q_tile=qt_, t_tile=tt,
                 transposed=True, compute_bf16=True,
+            ),
+        )
+        timeit(
+            f"binned_Tcbf16 q={q_tile} t={t_tile}",
+            lambda q, qt_=q_tile, tt=t_tile: pallas_search_binned(
+                MetricKind.IP, q, table, stats, valid, K, q_tile=qt_, t_tile=tt,
+                transposed=True, compute_bf16=True, compact=True,
             ),
         )
     timeit(

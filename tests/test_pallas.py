@@ -200,3 +200,59 @@ def test_pallas_binned_transposed_compute_bf16_i8(rng):
     # self-match (top-1) identical; distances within bf16 tolerance
     np.testing.assert_array_equal(np.asarray(a[1][:, 0]), np.asarray(b[1][:, 0]))
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), rtol=0.02, atol=100.0)
+
+
+def test_pallas_binned_compact_matches(rng):
+    """Compact outputs (bf16 bins + i8 within-argmin + exact rescore) return
+    the same candidates as the full-precision transposed variant; distances
+    are exact f32 (re-scored), so they match the XLA exact path bit-for-bit
+    on the shared ids."""
+    from usearch_tpu.ops.pallas_scan import pallas_search_binned
+
+    n, d, q_n, k = 8192, 128, 256, 8
+    table = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((q_n, d)), jnp.float32)
+    stats = row_stats(table, ScalarKind.F32)
+    valid = jnp.asarray(np.arange(n) % 3 != 0)
+    for metric in (MetricKind.IP, MetricKind.Cos, MetricKind.L2sq):
+        a = pallas_search_binned(
+            metric, q, table, stats, valid, k, q_tile=256, t_tile=2048,
+            interpret=True, transposed=True,
+        )
+        b = pallas_search_binned(
+            metric, q, table, stats, valid, k, q_tile=256, t_tile=2048,
+            interpret=True, transposed=True, compact=True,
+        )
+        # candidate sets agree except where bf16 bin-value rounding swaps
+        # near-ties at the k-boundary; top-1 must agree exactly
+        np.testing.assert_array_equal(np.asarray(a[1][:, 0]), np.asarray(b[1][:, 0]))
+        hits = sum(
+            len(set(np.asarray(a[1][i]).tolist()) & set(np.asarray(b[1][i]).tolist()))
+            for i in range(q_n)
+        )
+        assert hits / (q_n * k) > 0.97, metric
+        # re-scored distances are exact: compare vs the full variant on top-1
+        np.testing.assert_allclose(
+            np.asarray(b[0][:, 0]), np.asarray(a[0][:, 0]), rtol=1e-5
+        )
+    # masked rows never surface
+    ids = np.asarray(b[1])
+    assert np.all(ids[ids >= 0] % 3 != 0)
+
+
+def test_pallas_binned_compact_i8(rng):
+    """compact + compute_bf16 on an i8 table: self-queries find themselves."""
+    from usearch_tpu.ops.pallas_scan import pallas_search_binned
+
+    n, d, q_n, k = 4096, 128, 256, 4
+    x = rng.standard_normal((n, d))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    table = jnp.asarray(np.clip(np.round(x * 127), -127, 127), jnp.int8)
+    q = table[:q_n]
+    stats = row_stats(table, ScalarKind.I8)
+    valid = jnp.ones((n,), bool)
+    d_out, i_out = pallas_search_binned(
+        MetricKind.IP, q, table, stats, valid, k, q_tile=256, t_tile=1024,
+        interpret=True, transposed=True, compute_bf16=True, compact=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i_out[:, 0]), np.arange(q_n))

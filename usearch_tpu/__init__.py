@@ -25,6 +25,7 @@ from .index import Index, IndexStats
 from .indexes import Indexes
 from .kmeans import kmeans
 from .matches import BatchMatches, Clustering, Key, Match, Matches
+from .parallel.sharded import ShardedIndex
 
 __version__ = "0.1.0"
 
@@ -69,6 +70,7 @@ __all__ = [
     "ScalarKind",
     "search",
     "exact_search",
+    "ShardedIndex",
     "kmeans",
     "DEFAULT_CONNECTIVITY",
     "DEFAULT_EXPANSION_ADD",

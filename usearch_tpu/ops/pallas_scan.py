@@ -61,23 +61,34 @@ def _epilogue(metric: MetricKind, dots, q_aux, t_aux):
     return d + penalty
 
 
-def _epilogue_t(metric: MetricKind, dots, q_aux, t_aux):
-    """Transposed epilogue: dots [T, QT] + q aux [2, QT] + row aux [4, T]."""
+def _epilogue_t(metric: MetricKind, dots, q_aux, t_aux, shifted: bool = False):
+    """Transposed epilogue: dots [T, QT] + q aux [2, QT] + row aux [4, T].
+
+    ``shifted``: emit a per-query MONOTONE transform of the distance instead
+    of the distance itself (ip/cos: drop the ``1 -`` offset; l2sq: drop the
+    per-query ``q_sq`` term). Orderings — hence argmins and top-k sets — are
+    unchanged, but values sit near 0 instead of near 1, where bf16's fixed
+    8-bit mantissa buys ~2⁸× finer absolute resolution. Only valid when the
+    selected winners are re-scored exactly afterwards (compact mode)."""
     dots = dots.astype(jnp.float32)
     t_sq = t_aux[0, :][:, None]
     penalty = t_aux[2, :][:, None]
     q_sq = q_aux[0, :][None, :]
     if metric == MetricKind.IP:
-        d = 1.0 - dots
+        d = -dots if shifted else 1.0 - dots
     elif metric == MetricKind.Cos:
         denom = jnp.sqrt(q_sq) * jnp.sqrt(t_sq)
         safe = jnp.where(denom == 0.0, 1.0, denom)
-        base = 1.0 - dots / safe
+        off = 0.0 if shifted else 1.0
+        base = off - dots / safe
         one_zero = (q_sq == 0.0) ^ (t_sq == 0.0)
         both_zero = (q_sq == 0.0) & (t_sq == 0.0)
-        d = jnp.where(both_zero, 0.0, jnp.where(one_zero, 1.0, base))
+        d = jnp.where(both_zero, off - 1.0, jnp.where(one_zero, off, base))
     elif metric == MetricKind.L2sq:
-        d = jnp.maximum(q_sq + t_sq - 2.0 * dots, 0.0)
+        if shifted:
+            d = t_sq - 2.0 * dots
+        else:
+            d = jnp.maximum(q_sq + t_sq - 2.0 * dots, 0.0)
     else:
         raise ValueError(f"pallas scan supports ip/cos/l2sq, got {metric}")
     return d + penalty
@@ -414,7 +425,9 @@ def _make_binned_kernel(metric: MetricKind, t_tile: int, split_dot: bool = False
     return kernel
 
 
-def _make_binned_t_kernel(metric: MetricKind, t_tile: int, compute_bf16: bool = False):
+def _make_binned_t_kernel(
+    metric: MetricKind, t_tile: int, compute_bf16: bool = False, compact: bool = False
+):
     """Transposed merge-free cell: the matmul emits [t_tile, qt] so each
     128-row bin is a SUBLANE group — the per-bin min/argmin reduce along the
     sublane axis after a free major-dim reshape (no lane-dim slicing, no
@@ -425,7 +438,13 @@ def _make_binned_t_kernel(metric: MetricKind, t_tile: int, compute_bf16: bool = 
     traffic with bf16 MXU throughput (Mosaic's int8 matmul measured 2.6×
     slower than bf16 on v5e). ±127 products summed over ≤512 dims stay
     within bf16's 8-bit mantissa ≈ 0.4% — fine for candidate GENERATION
-    (the binned approximation already tolerates more)."""
+    (the binned approximation already tolerates more).
+
+    ``compact``: emit bf16 bin minima and int8 WITHIN-bin argmins (0..127)
+    instead of f32 + global i32 — 2× + 4× less candidate-surface HBM
+    traffic. The global row id is reconstructed outside from the bin's
+    position (id = bin*128 + within) and the final k winners are re-scored
+    exactly in f32, so returned distances lose no precision."""
     n_bins = t_tile // _LANES
 
     def kernel(q_ref, q_aux_ref, tile_ref, t_aux_ref, out_v_ref, out_i_ref):
@@ -446,17 +465,48 @@ def _make_binned_t_kernel(metric: MetricKind, t_tile: int, compute_bf16: bool = 
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=acc,
         )  # [t_tile, qt]
-        d = _epilogue_t(metric, dots, q_aux_ref[:], t_aux_ref[:])
+        d = _epilogue_t(metric, dots, q_aux_ref[:], t_aux_ref[:], shifted=compact)
         d3 = d.reshape(n_bins, _LANES, qt)  # major-dim split: no relayout
-        out_v_ref[:] = jnp.min(d3, axis=1)
         within = jnp.argmin(d3, axis=1).astype(jnp.int32)  # [n_bins, qt]
-        base = jax.lax.broadcasted_iota(jnp.int32, (n_bins, qt), 0) * _LANES
-        out_i_ref[:] = within + base + ti * t_tile
+        if compact:
+            out_v_ref[:] = jnp.min(d3, axis=1).astype(jnp.bfloat16)
+            out_i_ref[:] = within.astype(jnp.int8)
+        else:
+            out_v_ref[:] = jnp.min(d3, axis=1)
+            base = jax.lax.broadcasted_iota(jnp.int32, (n_bins, qt), 0) * _LANES
+            out_i_ref[:] = within + base + ti * t_tile
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9, 10, 11))
+def _rescore_exact(metric, q, q_aux, table, stats, valid, ids):
+    """Exact f32 distances for [Q, k] candidate row ids + ascending re-sort.
+
+    Restores full precision after bf16 candidate selection: gathers the k
+    winner rows (tiny — Q·k rows), recomputes the metric in f32, and sorts.
+    """
+    rows = table[ids].astype(jnp.float32)  # [Q, k, W]
+    qf = q.astype(jnp.float32)  # [Q, W]
+    dots = jnp.einsum("qkw,qw->qk", rows, qf)
+    t_sq = stats[ids, 0]  # [Q, k]
+    q_sq = q_aux[0, :][:, None]  # [Q, 1]
+    if metric == MetricKind.IP:
+        d = 1.0 - dots
+    elif metric == MetricKind.Cos:
+        denom = jnp.sqrt(q_sq) * jnp.sqrt(t_sq)
+        safe = jnp.where(denom == 0.0, 1.0, denom)
+        base = 1.0 - dots / safe
+        one_zero = (q_sq == 0.0) ^ (t_sq == 0.0)
+        both_zero = (q_sq == 0.0) & (t_sq == 0.0)
+        d = jnp.where(both_zero, 0.0, jnp.where(one_zero, 1.0, base))
+    else:  # L2sq
+        d = jnp.maximum(q_sq + t_sq - 2.0 * dots, 0.0)
+    d = d + jnp.where(valid[ids], 0.0, MASKED)
+    order = jnp.argsort(d, axis=1)
+    return jnp.take_along_axis(d, order, axis=1), jnp.take_along_axis(ids, order, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9, 10, 11, 12))
 def pallas_search_binned(
     metric: MetricKind,
     q: jnp.ndarray,
@@ -470,6 +520,7 @@ def pallas_search_binned(
     split_dot: bool = False,
     transposed: bool = False,
     compute_bf16: bool = False,
+    compact: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused scan, merge-free variant: the kernel emits per-bin minima
     [Q, N/128] (128× smaller than the score matrix) and one `approx_min_k`
@@ -490,11 +541,14 @@ def pallas_search_binned(
     qf = q.astype(jnp.float32)
     q_aux = jnp.stack([jnp.sum(qf * qf, axis=1), jnp.sum(qf, axis=1)], axis=0)
 
+    assert not (compact and not transposed), "compact requires transposed=True"
     kernel = (
-        _make_binned_t_kernel(metric, t_tile, compute_bf16)
+        _make_binned_t_kernel(metric, t_tile, compute_bf16, compact)
         if transposed
         else _make_binned_kernel(metric, t_tile, split_dot)
     )
+    v_dtype = jnp.bfloat16 if compact else jnp.float32
+    i_dtype = jnp.int8 if compact else jnp.int32
     out_v, out_i = pl.pallas_call(
         kernel,
         grid=(n_q_tiles, n_t_tiles),
@@ -509,11 +563,20 @@ def pallas_search_binned(
             pl.BlockSpec((n_bins, q_tile), lambda qi, ti: (ti, qi)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((total_bins, n_q), jnp.float32),
-            jax.ShapeDtypeStruct((total_bins, n_q), jnp.int32),
+            jax.ShapeDtypeStruct((total_bins, n_q), v_dtype),
+            jax.ShapeDtypeStruct((total_bins, n_q), i_dtype),
         ],
         interpret=interpret,
     )(q, q_aux, table, t_aux)
+
+    if compact:
+        # bin position IS the candidate's bin id: id = bin*128 + within
+        _, sel = jax.lax.approx_min_k(out_v.T, k)  # bf16 in, no f32 copy
+        sel = sel.astype(jnp.int32)
+        within = jnp.take_along_axis(out_i.T.astype(jnp.int32), sel, axis=1)
+        ids = sel * _LANES + within
+        d_out, i_out = _rescore_exact(metric, q, q_aux, table, stats, valid, ids)
+        return d_out, jnp.where(d_out >= MASKED / 2, -1, i_out)
 
     d_sel, sel = jax.lax.approx_min_k(out_v.T, k)
     i_sel = jnp.take_along_axis(out_i.T, sel.astype(jnp.int32), axis=1)
