@@ -24,6 +24,7 @@ Pipeline:
 Run: nohup python bench100m_ivf.py > /tmp/b100m_ivf.log 2>&1 &
 (expect ~1-2 h; the quantizer fit dominates)
 """
+import functools
 import os
 import sys
 import time
@@ -33,6 +34,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+if os.environ.get("B100M_CPU") == "1":  # CPU smoke: force platform via config
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from usearch_tpu.enums import MetricKind, ScalarKind
@@ -120,6 +125,7 @@ def main():
     assigns, _, centroids = kmeans_hierarchical(
         table, N_CENTROIDS, metric=MetricKind.IP, max_iterations=20, seed=0,
         return_dists=False,
+        flat_assign=os.environ.get("B100M_FLAT", "1") == "1",
     )
     ncent = centroids.shape[0]
     log(f"quantizer fit: {ncent} centroids")
@@ -176,15 +182,15 @@ def main():
     # NOTE: table/stats/valid MUST be explicit jit arguments — a closed-over
     # device array is captured as a CONSTANT in the lowered module (12.9 GB
     # shipped through the remote-compile tunnel).
-    @jax.jit
-    def exact_fn(q, table, stats, valid):
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def exact_fn(q, table, stats, valid, approx):
         qs = row_stats(q, ScalarKind.I8)
         return scan_topk(
-            MetricKind.IP, ScalarKind.I8, q, qs, table, stats, valid, K, 65536, D, None, False
+            MetricKind.IP, ScalarKind.I8, q, qs, table, stats, valid, K, 65536, D, None, approx
         )[1]
 
-    def exact(q):
-        return exact_fn(q, table, stats, valid)
+    def exact(q, approx=False):
+        return exact_fn(q, table, stats, valid, approx)
 
     gt = [np.asarray(exact(qs)) for qs in qsets[:1]]  # compiles + warms
     t1 = time.perf_counter()
@@ -192,6 +198,15 @@ def main():
     exact_dt = time.perf_counter() - t1
     gt.append(np.asarray(exact(qsets[2])))
     log(f"exact scan: {exact_dt*1000:.0f} ms/{Q} queries -> {Q/exact_dt:.0f} QPS")
+
+    # the index's default SERVING exact mode (approx_min_k per tile) — the
+    # baseline IVF must beat; GT above stays truly exact
+    _ = np.asarray(exact(qsets[0], True))
+    t1 = time.perf_counter()
+    ax1 = np.asarray(exact(qsets[1], True))
+    approx_dt = time.perf_counter() - t1
+    arec = np.mean([len(set(a.tolist()) & set(b.tolist())) / K for a, b in zip(ax1, gt[1])])
+    log(f"exact-serving (approx merge): {Q/approx_dt:.0f} QPS recall@10={arec:.4f}")
 
     # ---- IVF sweep ----
     results = []

@@ -218,3 +218,46 @@ def test_kmeans_fit_n_valid_padding_contract(rng):
     assert a2.shape == (len(X),)
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_allclose(c1, c2, atol=1e-5)
+
+
+def test_assign_flat_matches_bruteforce(rng):
+    """assign_flat == numpy argmin over the full centroid list, across both
+    tilings (k below and above cent_tile) and both metric families."""
+    import jax.numpy as jnp
+
+    from usearch_tpu.enums import MetricKind
+    from usearch_tpu.kmeans import assign_flat
+
+    X = rng.standard_normal((512, 16)).astype(np.float32)
+    C = rng.standard_normal((48, 16)).astype(np.float32)
+    for metric in (MetricKind.L2sq, MetricKind.Cos):
+        a, d = assign_flat(metric, jnp.asarray(X), jnp.asarray(C), 128, 16)
+        if metric == MetricKind.L2sq:
+            dm = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        else:
+            dm = 1.0 - (X @ C.T) / (
+                np.linalg.norm(X, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
+            )
+        want = dm.argmin(1)
+        # bf16 dots: allow ties within rounding, check distance near-optimal
+        got_d = dm[np.arange(len(X)), np.asarray(a)]
+        best_d = dm[np.arange(len(X)), want]
+        np.testing.assert_allclose(got_d, best_d, rtol=2e-2, atol=2e-2)
+        assert (np.asarray(a) == want).mean() > 0.95
+
+
+def test_hierarchical_flat_assign_is_voronoi(rng):
+    """flat_assign=True restores the Voronoi contract: every point's stored
+    cell is its flat-nearest centroid (what IVF probing assumes)."""
+    from usearch_tpu.kmeans import kmeans_hierarchical
+
+    X = _blobs(rng, 40, 12, 8, spread=0.4)  # wide blobs: boundary points exist
+    assigns, dists, cents = kmeans_hierarchical(
+        X, 16, seed=0, sample=300, flat_assign=True
+    )
+    dm = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    want = dm.argmin(1)
+    got_d = dm[np.arange(len(X)), assigns]
+    best_d = dm[np.arange(len(X)), want]
+    np.testing.assert_allclose(got_d, best_d, rtol=2e-2, atol=2e-2)
+    assert (assigns == want).mean() > 0.95

@@ -28,6 +28,79 @@ from .enums import MetricKind, normalize_metric
 _ASSIGN_TILE = 16384
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def assign_flat(
+    metric: MetricKind, points, centroids, point_tile: int = 8192, cent_tile: int = 16384
+):
+    """Nearest-centroid assignment over the FLAT centroid list, nested-tiled
+    so neither the [tile, k] score block nor any one-hot ever exceeds
+    point_tile × cent_tile f32. The final-pass fixer for hierarchical
+    k-means: greedy top-down assignment strands boundary points in cells the
+    flat-nearest probe rule never visits; one flat pass (~N·k·D MACs total)
+    restores the Voronoi contract that IVF probing assumes.
+
+    points [N, D] (any dtype, N % point_tile == 0 — pre-pad), centroids
+    [K, D] f32 (padded internally to a cent_tile multiple). Returns
+    (assignments i32 [N], best distance f32 [N])."""
+    n, d = points.shape
+    k = centroids.shape[0]
+    k_pad = ((k + cent_tile - 1) // cent_tile) * cent_tile
+    if k_pad > k:
+        centroids = jnp.concatenate(
+            [centroids, jnp.zeros((k_pad - k, d), centroids.dtype)]
+        )
+    # padded centroids get an infinite penalty so they never win
+    c_pen = jnp.where(jnp.arange(k_pad) < k, 0.0, jnp.float32(3.0e38))
+    c_sq_all = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=1)
+    c16 = centroids.astype(jnp.bfloat16)
+    n_ct = k_pad // cent_tile
+    assert n % point_tile == 0, (n, point_tile)
+
+    def point_body(_, pts_tile):
+        t16 = pts_tile.astype(jnp.bfloat16)
+        t_sq = jnp.sum(pts_tile.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+        t_norm = jnp.sqrt(t_sq)
+
+        def cent_body(carry, xs):
+            best_d, best_i = carry
+            cents, c_sq, pen, offset = xs
+            dots = jax.lax.dot_general(
+                t16, cents, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            if metric in (MetricKind.Cos, MetricKind.IP):
+                c_norm = jnp.sqrt(c_sq)[None, :]
+                denom = jnp.where(t_norm * c_norm == 0, 1.0, t_norm * c_norm)
+                dists = 1.0 - dots / denom
+            else:
+                dists = jnp.maximum(t_sq + c_sq[None, :] - 2.0 * dots, 0.0)
+            dists = dists + pen[None, :]
+            tile_best = jnp.min(dists, axis=1)
+            tile_arg = jnp.argmin(dists, axis=1).astype(jnp.int32) + offset
+            better = tile_best < best_d
+            return (
+                jnp.where(better, tile_best, best_d),
+                jnp.where(better, tile_arg, best_i),
+            ), None
+
+        init = (
+            jnp.full((point_tile,), 3.0e38, jnp.float32),
+            jnp.full((point_tile,), -1, jnp.int32),
+        )
+        xs = (
+            c16.reshape(n_ct, cent_tile, d),
+            c_sq_all.reshape(n_ct, cent_tile),
+            c_pen.reshape(n_ct, cent_tile),
+            jnp.arange(n_ct, dtype=jnp.int32) * cent_tile,
+        )
+        (bd, bi), _ = jax.lax.scan(cent_body, init, xs)
+        return None, (bi, bd)
+
+    _, (assigns, bests) = jax.lax.scan(
+        point_body, None, points.reshape(n // point_tile, point_tile, d)
+    )
+    return assigns.reshape(n), bests.reshape(n)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def _assign_step(metric: MetricKind, points, centroids, tile_rows: int):
     """Assign every point to its nearest centroid; returns
@@ -273,6 +346,7 @@ def kmeans_hierarchical(
     max_iterations: int = 25,
     seed: Optional[int] = None,
     return_dists: bool = True,
+    flat_assign: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Two-level k-means for large k / large N — the coarse-quantizer trainer
     for IVF at 100M+ rows, where flat Lloyd's (cost ∝ N·k·D per iteration)
@@ -281,6 +355,12 @@ def kmeans_hierarchical(
     Level 1 fits √k coarse centroids on a row sample; every point is assigned
     once; level 2 fits k/√k sub-centroids inside each coarse cluster. Total
     assignment cost ∝ N·(√k + k/√k)·D — ~100× cheaper at k = 30k.
+
+    ``flat_assign``: finish with one flat nearest-centroid pass over the full
+    centroid list (assign_flat). Greedy top-down assignment strands points
+    near coarse-cluster boundaries in cells that flat-nearest IVF probing
+    never visits — measured at 100M×96d/65536 centroids this capped
+    recall@10 at 0.66; the flat pass costs one N·k·D assignment sweep.
 
     Returns (assignments i32 [N] into the FLAT centroid list,
     distances f32 [N], centroids f32 [k_actual, D])."""
@@ -350,6 +430,22 @@ def kmeans_hierarchical(
         centroids_out.append(sub_cents)
 
     centroids = np.concatenate(centroids_out) if centroids_out else np.zeros((0, d), np.float32)
+    if flat_assign and centroids.shape[0] > 1:
+        point_tile = min(8192, max(n, 1))
+        n_pad3 = ((n + point_tile - 1) // point_tile) * point_tile
+        pts_p3 = (
+            jnp.concatenate([pts, jnp.broadcast_to(pts[:1], (n_pad3 - n, d))])
+            if n_pad3 > n
+            else pts
+        )
+        k_act = centroids.shape[0]
+        cent_tile = min(16384, 1 << (k_act - 1).bit_length())
+        flat_a, _ = assign_flat(
+            metric, pts_p3, jnp.asarray(centroids), point_tile, cent_tile
+        )
+        # assignments only: the bf16-dot mins are selection-grade; exact f32
+        # distances (when asked for) come from the tiled pass below
+        assigns = np.asarray(flat_a[:n], dtype=np.int64)
     if not return_dists:
         # IVF builds only need assignments — the distance pass re-reads the
         # whole table and ships [N] f32 to host (400 MB at 100M rows)
