@@ -487,3 +487,21 @@ def test_large_fingerprints_2048_bits():
     m = index.search(packed[:5], 3)
     np.testing.assert_array_equal(m.keys[:, 0], np.arange(5))
     assert np.all(m.distances[:, 0] == 0)
+
+
+def test_fork_same_config_empty():
+    """fork(): the model without the data (reference index_dense.hpp:1656);
+    copy() preserves a UDF metric through the fork."""
+    import jax.numpy as jnp
+    from usearch_tpu import CompiledMetric, Index
+
+    udf = CompiledMetric(fn=lambda a, b: jnp.sum(jnp.abs(a - b)), kind="l2sq")
+    ix = Index(ndim=8, metric=udf, dtype="f32", multi=True, expansion_search=99)
+    ix.add(np.arange(4, dtype=np.uint64), np.random.rand(4, 8).astype(np.float32))
+    f = ix.fork()
+    assert len(f) == 0 and f.ndim == 8 and f.multi and f.expansion_search == 99
+    assert f._metric_fn is ix._metric_fn
+    c = ix.copy()
+    assert len(c) == 4 and c._metric_fn is ix._metric_fn
+    m = c.search(np.random.rand(8).astype(np.float32), 2)
+    assert len(m) == 2

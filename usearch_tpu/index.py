@@ -822,16 +822,29 @@ class Index:
         return self._count
 
     @_reads
-    def copy(self) -> "Index":
-        other = Index(
+    def fork(self) -> "Index":
+        """A similarly-configured EMPTY index — the model without the data
+        (reference: index_dense_gt::fork, index_dense.hpp:1656)."""
+        from .enums import CompiledMetric
+
+        metric = self._metric_kind
+        if self._metric_fn is not None:
+            metric = CompiledMetric(
+                fn=self._metric_fn, kind=self._metric_kind, signature=None
+            )
+        return Index(
             ndim=self._ndim,
-            metric=self._metric_kind,
+            metric=metric,
             dtype=self.dtype if not self._is_set_index else None,
             connectivity=self._connectivity,
             expansion_add=self._expansion_add,
             expansion_search=self._expansion_search,
             multi=self._multi,
+            enable_key_lookups=self._enable_key_lookups,
         )
+
+    def copy(self) -> "Index":
+        other = self.fork()
         if self._capacity:
             other.reserve(self._capacity)
             # deep device copies: the mutation kernels donate their buffers,
