@@ -256,3 +256,36 @@ def test_pallas_binned_compact_i8(rng):
         interpret=True, transposed=True, compute_bf16=True, compact=True,
     )
     np.testing.assert_array_equal(np.asarray(i_out[:, 0]), np.arange(q_n))
+
+
+def test_kernel_backend_dispatch(rng):
+    """search_kernel with USEARCH_TPU_KERNEL=pallas routes eligible approx
+    searches to the fused binned kernel and matches the XLA path's top-1."""
+    from usearch_tpu import exact as ex
+
+    n, d, q_n, k = 4096, 128, 256, 8
+    table = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((q_n, d)), jnp.float32)
+    stats = row_stats(table, ScalarKind.F32)
+    valid = jnp.ones((n,), bool)
+
+    a = ex.search_kernel(
+        MetricKind.IP, ScalarKind.F32, q, table, stats, valid, d, k, 1024,
+        None, True,
+    )
+    ex.set_kernel_backend("pallas")
+    try:
+        b = ex.search_kernel(
+            MetricKind.IP, ScalarKind.F32, q, table, stats, valid, d, k, 1024,
+            None, True,
+        )
+        # ineligible (exact) searches fall back to XLA
+        c = ex.search_kernel(
+            MetricKind.IP, ScalarKind.F32, q, table, stats, valid, d, k, 1024,
+            None, False,
+        )
+    finally:
+        ex.set_kernel_backend("xla")
+    np.testing.assert_array_equal(np.asarray(a[1][:, 0]), np.asarray(b[1][:, 0]))
+    np.testing.assert_allclose(np.asarray(a[0][:, 0]), np.asarray(b[0][:, 0]), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(c[1]))

@@ -52,7 +52,43 @@ def pick_tile_rows(n_rows: int, row_bytes: int, metric: MetricKind, ndim: int, n
     return min(tile, n_rows)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 6, 7, 8, 9, 10))
+#: Approximate-search kernel backend: "xla" = lax.scan + approx_min_k;
+#: "pallas" = fused transposed-binned Pallas kernel with compact candidate
+#: outputs (ops/pallas_scan.pallas_search_binned). Overridable via the
+#: USEARCH_TPU_KERNEL env var or set_kernel_backend().
+import os as _os
+
+_KERNEL_BACKEND = _os.environ.get("USEARCH_TPU_KERNEL", "xla")
+
+
+def set_kernel_backend(name: str) -> None:
+    """Select the approximate-search kernel: "xla" or "pallas"."""
+    global _KERNEL_BACKEND
+    assert name in ("xla", "pallas"), name
+    _KERNEL_BACKEND = name
+
+
+def _pallas_tiles(metric, kind, q, table, k, metric_fn, approx):
+    """Tile sizes (q_tile, t_tile) when the Pallas kernel applies, else None."""
+    from .ops import pallas_scan
+
+    if metric_fn is not None or not approx or k > 64:
+        return None
+    if not pallas_scan.supports(metric, kind):
+        return None
+    n = table.shape[0]
+    n_q = q.shape[0]
+    t_tile = 8192
+    while t_tile > 512 and n % t_tile:
+        t_tile //= 2
+    if n % t_tile or n < 2 * t_tile:
+        return None
+    q_tile = min(256, n_q)
+    if n_q % q_tile:
+        return None
+    return q_tile, t_tile
+
+
 def search_kernel(
     metric: MetricKind,
     kind: ScalarKind,
@@ -66,11 +102,42 @@ def search_kernel(
     metric_fn=None,
     approx: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Jitted top-k search of prepared queries against a prepared table.
+    """Top-k search of prepared queries against a prepared table, dispatched
+    to the selected kernel backend (both paths are jitted whole — one
+    dispatch per search; on remote-tunneled devices every extra dispatch
+    costs a full RPC round trip)."""
+    if _KERNEL_BACKEND == "pallas":
+        tiles = _pallas_tiles(metric, kind, q, table, k, metric_fn, approx)
+        if tiles is not None:
+            from .ops.pallas_scan import pallas_search_binned
 
-    Query stats are computed INSIDE the jit: one dispatch per search — on
-    remote-tunneled devices every extra dispatch costs a full RPC round trip.
-    """
+            q_tile, t_tile = tiles
+            return pallas_search_binned(
+                metric, q, table, stats, valid, k,
+                q_tile=q_tile, t_tile=t_tile,
+                interpret=jax.default_backend() == "cpu",
+                transposed=True, compact=True,
+                compute_bf16=kind == ScalarKind.I8,
+            )
+    return _search_kernel_xla(
+        metric, kind, q, table, stats, valid, ndim, k, tile_rows, metric_fn, approx
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 6, 7, 8, 9, 10))
+def _search_kernel_xla(
+    metric: MetricKind,
+    kind: ScalarKind,
+    q: jnp.ndarray,
+    table: jnp.ndarray,
+    stats: jnp.ndarray,
+    valid: jnp.ndarray,
+    ndim: int,
+    k: int,
+    tile_rows: int,
+    metric_fn=None,
+    approx: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     q_stats = row_stats(q, kind)
     n_rows = table.shape[0]
     if n_rows <= tile_rows:
