@@ -431,21 +431,28 @@ def kmeans_hierarchical(
 
     centroids = np.concatenate(centroids_out) if centroids_out else np.zeros((0, d), np.float32)
     if flat_assign and centroids.shape[0] > 1:
-        point_tile = min(8192, max(n, 1))
-        n_pad3 = ((n + point_tile - 1) // point_tile) * point_tile
-        pts_p3 = (
-            jnp.concatenate([pts, jnp.broadcast_to(pts[:1], (n_pad3 - n, d))])
-            if n_pad3 > n
-            else pts
-        )
         k_act = centroids.shape[0]
         cent_tile = min(16384, 1 << (k_act - 1).bit_length())
-        flat_a, _ = assign_flat(
-            metric, pts_p3, jnp.asarray(centroids), point_tile, cent_tile
-        )
+        cents_dev2 = jnp.asarray(centroids)
+        point_tile = min(8192, 1 << (n - 1).bit_length())
+        # never pad-copy the WHOLE table (2x HBM at 100M): assign the
+        # tile-aligned main region in place, pad only the small tail
+        main = (n // point_tile) * point_tile
+        parts = []
+        if main:
+            fa, _ = assign_flat(metric, pts[:main], cents_dev2, point_tile, cent_tile)
+            parts.append(np.asarray(fa, dtype=np.int64))
+        if n > main:
+            tail = pts[main:]
+            t_len = n - main
+            tail_p = jnp.concatenate(
+                [tail, jnp.broadcast_to(tail[:1], (point_tile - t_len, d))]
+            )
+            fa, _ = assign_flat(metric, tail_p, cents_dev2, point_tile, cent_tile)
+            parts.append(np.asarray(fa[:t_len], dtype=np.int64))
         # assignments only: the bf16-dot mins are selection-grade; exact f32
         # distances (when asked for) come from the tiled pass below
-        assigns = np.asarray(flat_a[:n], dtype=np.int64)
+        assigns = np.concatenate(parts)
     if not return_dists:
         # IVF builds only need assignments — the distance pass re-reads the
         # whole table and ships [N] f32 to host (400 MB at 100M rows)
