@@ -48,9 +48,15 @@ typedef enum usearch_scalar_kind_t {
     usearch_scalar_b1_k,
 } usearch_scalar_kind_t;
 
+/** Custom distance function: f(vector_a, vector_b) -> distance. Evaluated
+ *  on the HOST per pair (same contract as the reference's CPU UDF path —
+ *  reference c/usearch.h:34); the TPU fused path needs JAX-traceable UDFs,
+ *  available through the Python `CompiledMetric` API instead. */
+typedef usearch_distance_t (*usearch_metric_t)(void const*, void const*);
+
 typedef struct usearch_init_options_t {
     usearch_metric_kind_t metric_kind;
-    void* metric; /* custom metric pointers are not supported over the ABI */
+    usearch_metric_t metric; /* optional custom metric (used when metric_kind is unknown) */
     usearch_scalar_kind_t quantization;
     size_t dimensions;
     size_t connectivity;
