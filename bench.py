@@ -69,8 +69,6 @@ def main():
     t_start = time.perf_counter()
     cap = 1 << 20
 
-    from usearch_tpu.ops.topk import scan_topk
-
     rng = np.random.default_rng(0)
     # two distinct staged sets: the runtime dedupes repeated identical
     # (program, args) executions, so warmup and timing must differ
@@ -101,13 +99,16 @@ def main():
     # The ENTIRE serving loop is one jitted program (lax.map over batches):
     # a single dispatch per measurement — the tunnel's ~30 ms per-dispatch
     # floor and its stall lottery don't multiply by batch count.
+    # Kernel: the fused transposed-binned Pallas scan (262k QPS measured at
+    # this shape vs 163k for the XLA scan+approx_min_k path).
+    from usearch_tpu.ops.pallas_scan import pallas_search_binned
+
     @jax.jit
     def run_all(table, stats, valid, qs_all):
         def one(q):
-            q_stats = row_stats(q, ScalarKind.I8)
-            d, i = scan_topk(
-                MetricKind.IP, ScalarKind.I8, q, q_stats, table, stats, valid,
-                K, 65536, NDIM, None, True,
+            d, i = pallas_search_binned(
+                MetricKind.IP, q, table, stats, valid, K,
+                q_tile=512, t_tile=8192, transposed=True,
             )
             return i[:, 0]
         return jax.lax.map(one, qs_all)  # [G, B] top-1 row ids

@@ -103,8 +103,7 @@ def change_expansion_add(h, v): _ix(h).expansion_add = v; return 0
 def change_expansion_search(h, v): _ix(h).expansion_search = v; return 0
 
 
-def metadata(path):
-    meta = ut.Index.metadata(path)
+def _meta_tuple(meta):
     if meta is None:
         raise ValueError("not a usearch_tpu index file")
     return (
@@ -113,6 +112,92 @@ def metadata(path):
         int(meta["dimensions"]),
         1 if meta.get("multi") else 0,
     )
+
+
+def metadata(path):
+    return _meta_tuple(ut.Index.metadata(path))
+
+
+def metadata_buffer(ptr, length):
+    return _meta_tuple(ut.Index.metadata(ctypes.string_at(ptr, length)))
+
+
+def save_buffer(h, out_ptr, length):
+    data = _ix(h).save()  # bytes
+    if len(data) > length:
+        raise ValueError(f"buffer too small: need {len(data)}, got {length}")
+    ctypes.memmove(out_ptr, data, len(data))
+    return len(data)
+
+
+def load_buffer(h, ptr, length):
+    _ix(h).load(ctypes.string_at(ptr, length))
+    return 0
+
+
+def view_buffer(h, ptr, length):
+    _ix(h).view(ctypes.string_at(ptr, length))
+    return 0
+
+
+_threads = {}
+
+
+def change_threads(h, which, n):
+    # XLA schedules device parallelism; recorded for API compatibility only
+    _threads[(h, which)] = int(n)
+    return 0
+
+
+_host_metrics = {}
+
+
+def change_metric_kind(h, kind_id):
+    _host_metrics.pop(h, None)
+    _ix(h).metric = _METRICS[kind_id]
+    return 0
+
+
+def change_metric(h, fn_ptr, state_ptr, kind_id):
+    """C-pointer UDF: searches run host-side per pair — the reference's own
+    CPU UDF cost model (it too calls the pointer per candidate)."""
+    if state_ptr:
+        cf = ctypes.CFUNCTYPE(
+            ctypes.c_float, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p
+        )(fn_ptr)
+        f = lambda a, b: cf(a, b, state_ptr)
+    else:
+        f = ctypes.CFUNCTYPE(ctypes.c_float, ctypes.c_void_p, ctypes.c_void_p)(fn_ptr)
+    _host_metrics[h] = f
+    if kind_id:
+        _ix(h)._metric_kind = ut.MetricKind(_METRICS[kind_id])  # serialization tag
+    return 0
+
+
+def _host_search(index, f, q, k, keys_ptr, dists_ptr, allowed):
+    keys = np.asarray(index.keys, dtype=np.uint64)
+    if allowed is not None:
+        keys = keys[np.isin(keys, allowed)]
+    if keys.size == 0:
+        return 0
+    rows = np.atleast_2d(
+        np.ascontiguousarray(np.asarray(index.get(keys, index.dtype.value)))
+    )
+    q = np.ascontiguousarray(q)
+    dists = np.empty(rows.shape[0], np.float32)
+    qp = q.ctypes.data
+    base = rows.ctypes.data
+    step = rows.strides[0]
+    for i in range(rows.shape[0]):
+        dists[i] = f(qp, base + i * step)
+    k = min(k, len(dists))
+    sel = np.argpartition(dists, k - 1)[:k]
+    sel = sel[np.argsort(dists[sel], kind="stable")]
+    out_k = np.ascontiguousarray(keys[sel])
+    out_d = np.ascontiguousarray(dists[sel], dtype=np.float32)
+    ctypes.memmove(keys_ptr, out_k.ctypes.data, out_k.nbytes)
+    ctypes.memmove(dists_ptr, out_d.ctypes.data, out_d.nbytes)
+    return int(k)
 
 
 def add(h, key, vec_ptr, kind_id):

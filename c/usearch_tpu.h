@@ -79,6 +79,31 @@ void usearch_load(usearch_index_t index, char const* path, usearch_error_t* erro
 void usearch_view(usearch_index_t index, char const* path, usearch_error_t* error);
 void usearch_metadata(char const* path, usearch_init_options_t* options, usearch_error_t* error);
 
+/** Buffer-based serialization (reference c/usearch.h:195-224). `view_buffer`
+ *  copies — the engine owns device/host mirrors, so no lifetime is imposed
+ *  on the caller's buffer. */
+void usearch_save_buffer(usearch_index_t index, void* buffer, size_t length, usearch_error_t* error);
+void usearch_load_buffer(usearch_index_t index, void const* buffer, size_t length, usearch_error_t* error);
+void usearch_view_buffer(usearch_index_t index, void const* buffer, size_t length, usearch_error_t* error);
+void usearch_metadata_buffer(void const* buffer, size_t length, usearch_init_options_t* options,
+                             usearch_error_t* error);
+
+/** Thread-count hints: accepted for API compatibility; XLA schedules the
+ *  actual device parallelism (reference c/usearch.h:300-308). */
+void usearch_change_threads_add(usearch_index_t index, size_t threads, usearch_error_t* error);
+void usearch_change_threads_search(usearch_index_t index, size_t threads, usearch_error_t* error);
+
+/** Switch the distance metric of a live index (reference c/usearch.h:316). */
+void usearch_change_metric_kind(usearch_index_t index, usearch_metric_kind_t kind,
+                                usearch_error_t* error);
+
+/** Install a custom metric. Stateless when `state` is NULL — f(a, b);
+ *  stateful otherwise — f(a, b, state) (reference index_plugins.hpp:1799).
+ *  Searches on such an index run HOST-side per pair, matching the
+ *  reference's CPU UDF cost model. */
+void usearch_change_metric(usearch_index_t index, usearch_metric_t metric, void* state,
+                           usearch_metric_kind_t kind, usearch_error_t* error);
+
 size_t usearch_size(usearch_index_t index, usearch_error_t* error);
 size_t usearch_capacity(usearch_index_t index, usearch_error_t* error);
 size_t usearch_dimensions(usearch_index_t index, usearch_error_t* error);
