@@ -56,7 +56,7 @@ def _row_elems(index, kind_id):
     return index.ndim
 
 
-def init(metric_id, quant_id, dims, conn, ea, es, multi):
+def init(metric_id, quant_id, dims, conn, ea, es, multi, metric_ptr=0):
     index = ut.Index(
         ndim=dims,
         metric=_METRICS.get(metric_id, "cos"),
@@ -69,11 +69,14 @@ def init(metric_id, quant_id, dims, conn, ea, es, multi):
     h = _next_handle[0]
     _next_handle[0] += 1
     _indexes[h] = index
+    if metric_ptr and metric_id == 0:  # unknown kind + pointer = custom metric
+        change_metric(h, metric_ptr, 0, 0)
     return h
 
 
 def free(h):
     _indexes.pop(h, None)
+    _host_metrics.pop(h, None)
     return 0
 
 
@@ -123,7 +126,9 @@ def metadata_buffer(ptr, length):
 
 
 def save_buffer(h, out_ptr, length):
-    data = _ix(h).save()  # bytes
+    from usearch_tpu.persist import save_index_to_buffer
+
+    data = save_index_to_buffer(_ix(h))
     if len(data) > length:
         raise ValueError(f"buffer too small: need {len(data)}, got {length}")
     ctypes.memmove(out_ptr, data, len(data))
@@ -210,9 +215,12 @@ def add(h, key, vec_ptr, kind_id):
 def search(h, query_ptr, kind_id, k, keys_ptr, dists_ptr, allowed_ptr, allowed_n):
     index = _ix(h)
     q = np.asarray(_wrap(query_ptr, _row_elems(index, kind_id), kind_id))
-    kwargs = {}
+    allowed = None
     if allowed_ptr:
-        kwargs["filter"] = np.asarray(_wrap(allowed_ptr, allowed_n, 2).view(np.uint64))
+        allowed = np.asarray(_wrap(allowed_ptr, allowed_n, 2).view(np.uint64))
+    if h in _host_metrics:
+        return _host_search(index, _host_metrics[h], q, k, keys_ptr, dists_ptr, allowed)
+    kwargs = {} if allowed is None else {"filter": allowed}
     m = index.search(q, k, **kwargs)
     n = len(m.keys)
     if n:
@@ -368,13 +376,14 @@ usearch_index_t usearch_init(usearch_init_options_t* options, usearch_error_t* e
     if (error)
         *error = nullptr;
     uint64_t handle = call_u64(
-        error, "init", "(KKKKKKK)", (unsigned long long)(options ? options->metric_kind : 1),
+        error, "init", "(KKKKKKKK)", (unsigned long long)(options ? options->metric_kind : 1),
         (unsigned long long)(options ? options->quantization : 0),
         (unsigned long long)(options ? options->dimensions : 0),
         (unsigned long long)(options ? options->connectivity : 0),
         (unsigned long long)(options ? options->expansion_add : 0),
         (unsigned long long)(options ? options->expansion_search : 0),
-        (unsigned long long)(options && options->multi ? 1 : 0));
+        (unsigned long long)(options && options->multi ? 1 : 0),
+        (unsigned long long)(options ? (uintptr_t)options->metric : 0));
     return (usearch_index_t)(uintptr_t)handle;
 }
 
@@ -586,6 +595,70 @@ void usearch_exact_search(void const* dataset, size_t dataset_count, size_t data
 void usearch_clear(usearch_index_t index, usearch_error_t* error) {
     if (error) *error = nullptr;
     call_u64(error, "clear", "(K)", HANDLE);
+}
+
+void usearch_save_buffer(usearch_index_t index, void* buffer, size_t length,
+                         usearch_error_t* error) {
+    if (error) *error = nullptr;
+    call_u64(error, "save_buffer", "(KKK)", HANDLE, (unsigned long long)(uintptr_t)buffer,
+             (unsigned long long)length);
+}
+
+void usearch_load_buffer(usearch_index_t index, void const* buffer, size_t length,
+                         usearch_error_t* error) {
+    if (error) *error = nullptr;
+    call_u64(error, "load_buffer", "(KKK)", HANDLE, (unsigned long long)(uintptr_t)buffer,
+             (unsigned long long)length);
+}
+
+void usearch_view_buffer(usearch_index_t index, void const* buffer, size_t length,
+                         usearch_error_t* error) {
+    if (error) *error = nullptr;
+    call_u64(error, "view_buffer", "(KKK)", HANDLE, (unsigned long long)(uintptr_t)buffer,
+             (unsigned long long)length);
+}
+
+void usearch_metadata_buffer(void const* buffer, size_t length, usearch_init_options_t* options,
+                             usearch_error_t* error) {
+    if (error) *error = nullptr;
+    PyObject* r = call_helper(error, "metadata_buffer", "(KK)",
+                              (unsigned long long)(uintptr_t)buffer, (unsigned long long)length);
+    if (!r || !options)
+        return;
+    unsigned long long metric = 0, scalar = 0, dims = 0, multi = 0;
+    if (PyArg_ParseTuple(r, "KKKK", &metric, &scalar, &dims, &multi)) {
+        options->metric_kind = (usearch_metric_kind_t)metric;
+        options->quantization = (usearch_scalar_kind_t)scalar;
+        options->dimensions = (size_t)dims;
+        options->multi = multi != 0;
+    } else {
+        capture_error(error);
+    }
+    Py_DECREF(r);
+}
+
+void usearch_change_threads_add(usearch_index_t index, size_t threads, usearch_error_t* error) {
+    if (error) *error = nullptr;
+    call_u64(error, "change_threads", "(KKK)", HANDLE, 0ULL, (unsigned long long)threads);
+}
+
+void usearch_change_threads_search(usearch_index_t index, size_t threads,
+                                   usearch_error_t* error) {
+    if (error) *error = nullptr;
+    call_u64(error, "change_threads", "(KKK)", HANDLE, 1ULL, (unsigned long long)threads);
+}
+
+void usearch_change_metric_kind(usearch_index_t index, usearch_metric_kind_t kind,
+                                usearch_error_t* error) {
+    if (error) *error = nullptr;
+    call_u64(error, "change_metric_kind", "(KK)", HANDLE, (unsigned long long)kind);
+}
+
+void usearch_change_metric(usearch_index_t index, usearch_metric_t metric, void* state,
+                           usearch_metric_kind_t kind, usearch_error_t* error) {
+    if (error) *error = nullptr;
+    call_u64(error, "change_metric", "(KKKK)", HANDLE, (unsigned long long)(uintptr_t)metric,
+             (unsigned long long)(uintptr_t)state, (unsigned long long)kind);
 }
 
 }  // extern "C"

@@ -17,6 +17,16 @@
         }                                                                      \
     } while (0)
 
+/* custom metric for usearch_change_metric: host-evaluated L1 over 4 dims */
+static usearch_distance_t l1_metric(void const* a, void const* b) {
+    float const* x = (float const*)a;
+    float const* y = (float const*)b;
+    float s = 0;
+    for (int i = 0; i < 4; ++i)
+        s += fabsf(x[i] - y[i]);
+    return s;
+}
+
 int main(void) {
     usearch_error_t error = NULL;
     usearch_init_options_t opts;
@@ -105,6 +115,59 @@ int main(void) {
                          usearch_metric_l2sq_k, 1, 0, ekeys, 0, edists, 0, &error);
     CHECK(error == NULL, error);
     CHECK(ekeys[0] == 1, "exact search mismatch");
+
+    /* buffer save / load / view / metadata round trip */
+    {
+        size_t need = usearch_serialized_length(index, &error);
+        CHECK(need > 0 && error == NULL, error);
+        void* buf = malloc(need);
+        usearch_save_buffer(index, buf, need, &error);
+        CHECK(error == NULL, error);
+
+        memset(&sniffed, 0, sizeof(sniffed));
+        usearch_metadata_buffer(buf, need, &sniffed, &error);
+        CHECK(error == NULL && sniffed.dimensions == 4, "metadata_buffer mismatch");
+
+        usearch_index_t from_buf = usearch_init(&opts, &error);
+        usearch_load_buffer(from_buf, buf, need, &error);
+        CHECK(error == NULL, error);
+        CHECK(usearch_size(from_buf, &error) == 2, error);
+
+        usearch_index_t view_buf = usearch_init(&opts, &error);
+        usearch_view_buffer(view_buf, buf, need, &error);
+        CHECK(error == NULL, error);
+        CHECK(usearch_size(view_buf, &error) == 2, error);
+        usearch_free(from_buf, &error);
+        usearch_free(view_buf, &error);
+        free(buf);
+    }
+
+    /* custom C metric: host-evaluated per pair (reference UDF cost model) */
+    {
+        usearch_index_t custom = usearch_init(&opts, &error);
+        usearch_add(custom, 42, v1, usearch_scalar_f32_k, &error);
+        usearch_add(custom, 43, v2, usearch_scalar_f32_k, &error);
+        usearch_add(custom, 44, v3, usearch_scalar_f32_k, &error);
+        usearch_change_metric(custom, l1_metric, NULL, usearch_metric_unknown_k, &error);
+        CHECK(error == NULL, error);
+        found = usearch_search(custom, v1, usearch_scalar_f32_k, 3, keys, dists, &error);
+        CHECK(error == NULL && found == 3, error);
+        CHECK(keys[0] == 42 && dists[0] < 1e-6f, "custom metric self match");
+        CHECK(fabsf(dists[1] - 0.8f) < 1e-5f, "custom metric L1 value");
+        usearch_free(custom, &error);
+    }
+
+    /* thread hints are accepted */
+    usearch_change_threads_add(index, 8, &error);
+    usearch_change_threads_search(index, 8, &error);
+    CHECK(error == NULL, error);
+
+    /* metric swap on a live index */
+    usearch_change_metric_kind(index, usearch_metric_cos_k, &error);
+    CHECK(error == NULL, error);
+    found = usearch_search(index, v1, usearch_scalar_f32_k, 2, keys, dists, &error);
+    CHECK(error == NULL && found == 2 && keys[0] == 42, "cos search after swap");
+    usearch_change_metric_kind(index, usearch_metric_l2sq_k, &error);
 
     /* error propagation: duplicate key without multi */
     usearch_add(index, 42, v1, usearch_scalar_f32_k, &error);

@@ -373,8 +373,9 @@ class Index:
 
     @property
     def serialized_length(self) -> int:
-        row_bytes = self._logical_row_bytes()
-        return 64 + self._count * (8 + row_bytes)
+        from .persist import serialized_length as _exact_len
+
+        return _exact_len(self)
 
     def _logical_row_bytes(self) -> int:
         if self._is_set_index:

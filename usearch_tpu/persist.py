@@ -118,6 +118,20 @@ def _serialize(index) -> tuple:
     return bytes(head), keys, rows, ivf_payload
 
 
+def serialized_length(index) -> int:
+    """EXACT byte length `save_index_to_buffer` will produce (the reference's
+    serialized_length contract, index_dense.hpp — callers size
+    `usearch_save_buffer` buffers with it). Computed without fetching device
+    rows: header JSON + keys + logical row bytes + IVF payload sizes."""
+    keys_n = len(index._live_keys())
+    header_dict = _header_dict(index, keys_n)
+    ivf_head, ivf_payload = _ivf_header_and_payload(index)
+    if ivf_head is not None:
+        header_dict["ivf"] = ivf_head
+    header = json.dumps(header_dict).encode()
+    return 20 + len(header) + keys_n * (8 + index._logical_row_bytes()) + len(ivf_payload)
+
+
 def save_index(index, path: str, progress=None) -> None:
     head, keys, rows, ivf_payload = _serialize(index)
     with open(path, "wb") as f:
