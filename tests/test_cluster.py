@@ -261,3 +261,71 @@ def test_hierarchical_flat_assign_is_voronoi(rng):
     best_d = dm[np.arange(len(X)), want]
     np.testing.assert_allclose(got_d, best_d, rtol=2e-2, atol=2e-2)
     assert (assigns == want).mean() > 0.95
+
+
+def test_assign_flat_top2(rng):
+    """top2 mode returns the two nearest DISTINCT centroids."""
+    import jax.numpy as jnp
+
+    from usearch_tpu.enums import MetricKind
+    from usearch_tpu.kmeans import assign_flat
+
+    X = rng.standard_normal((256, 8)).astype(np.float32)
+    C = rng.standard_normal((40, 8)).astype(np.float32)
+    a1, d1, a2, d2 = assign_flat(
+        MetricKind.L2sq, jnp.asarray(X), jnp.asarray(C), 128, 16, True
+    )
+    a1, a2, d1, d2 = map(np.asarray, (a1, a2, d1, d2))
+    dm = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    two = np.argsort(dm, axis=1)[:, :2]
+    assert np.all(a1 != a2)
+    assert np.all(d1 <= d2 + 1e-3)
+    # bf16-rounding tolerance: the chosen pair's true distances are within
+    # tolerance of the true best pair
+    got = np.take_along_axis(dm, np.stack([a1, a2], 1), axis=1)
+    want = np.take_along_axis(dm, two, axis=1)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+
+
+def test_ivf_spill_lifts_boundary_recall(rng):
+    """SOAR spill: boundary-straddling neighborhoods get found from either
+    side — recall at fixed probe budget must not degrade, and spilled slots
+    never produce duplicate keys in results."""
+    from usearch_tpu import Index
+
+    d = 16
+    # wide blobs relative to cell size: many neighbor sets straddle cells
+    X = _blobs(rng, 200, 24, d, spread=0.9).astype(np.float32)
+    q = X[::50] + rng.standard_normal((len(X[::50]), d)).astype(np.float32) * 0.05
+
+    def recall(ix):
+        exact = {}
+        for i, qq in enumerate(q):
+            m = ix.search(qq, 10, exact=True)
+            exact[i] = set(np.asarray(m.keys).tolist())
+        hits = tot = 0
+        for i, qq in enumerate(q):
+            m = ix.search(qq, 10)
+            got = np.asarray(m.keys).tolist()
+            assert len(got) == len(set(got)), "duplicate keys in results"
+            hits += len(set(got) & exact[i])
+            tot += 10
+        return hits / tot
+
+    ix0 = Index(ndim=d, metric="l2sq", dtype="f32", expansion_search=8)
+    ix0.add(None, X)
+    ix0.optimize(n_partitions=64)
+    r0 = recall(ix0)
+
+    ix1 = Index(ndim=d, metric="l2sq", dtype="f32", expansion_search=8)
+    ix1.add(None, X)
+    ix1.optimize(n_partitions=64, spill=0.3)
+    r1 = recall(ix1)
+    assert r1 >= r0 - 0.02, (r0, r1)
+    assert r1 > 0.5, r1
+
+    # dense layout refuses spill
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ix0.optimize(n_partitions=64, reorder=True, spill=0.1)

@@ -1036,10 +1036,21 @@ class Index:
     # ------------------------------------------------------------------
 
     @_mutates
-    def optimize(self, n_partitions: Optional[int] = None, reorder: bool = False) -> None:
+    def optimize(
+        self,
+        n_partitions: Optional[int] = None,
+        reorder: bool = False,
+        spill: float = 0.0,
+    ) -> None:
         """Build the IVF partitioned-scan structure (the ANN replacement for
         the HNSW graph). Subsequent non-exact searches probe
         `expansion_search`-bounded partitions.
+
+        ``spill`` (0..1): SOAR-style spilled assignments — that fraction of
+        points (smallest second-centroid margin) is also stored in its
+        second-nearest partition, lifting recall when neighbor radius
+        exceeds cell radius. Copied layout only (duplicates cost memory;
+        the in-place dense layout is a permutation and cannot duplicate).
 
         ``reorder=True`` PERMUTES the table itself into cluster-major order
         (the reference's `compact` locality move, index.hpp:3590-3682):
@@ -1050,9 +1061,14 @@ class Index:
         if self._count == 0:
             return
         if reorder:
+            if spill > 0:
+                raise ValueError(
+                    "spill needs duplicate rows; the in-place dense layout is "
+                    "a permutation — use reorder=False with spill"
+                )
             self._ivf = IVFPartitions.build_inplace(self, n_partitions)
         else:
-            self._ivf = IVFPartitions.build(self, n_partitions)
+            self._ivf = IVFPartitions.build(self, n_partitions, spill=spill)
         self._ivf_dirty = False
 
     def cluster(

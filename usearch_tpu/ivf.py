@@ -81,16 +81,26 @@ class IVFPartitions:
         self.lens = lens                  # jnp [C] i32 partition lengths
         self.p_win = p_win                # static probe-window rows (max len)
         self.block = block                # gather-block rows
+        self.spilled = False              # SOAR spill: slots may repeat across partitions
 
     @staticmethod
-    def _quantize(index, n_partitions: Optional[int], p_cap_mult: float = 4.0):
+    def _quantize(
+        index, n_partitions: Optional[int], p_cap_mult: float = 4.0, spill: float = 0.0
+    ):
         """Coarse quantizer + capped chunking shared by both layouts.
         Returns (chunk member lists of OLD slots, per-chunk centroids, P, n).
 
         ``p_cap_mult`` bounds chunk depth at that multiple of the average:
         the copied [C, P, D] layout pays real memory for depth skew (4x);
         the dense layout pays only probe-window overscan, so it splits
-        tighter (1.5x) — splitting there costs nothing but probe slots."""
+        tighter (1.5x) — splitting there costs nothing but probe slots.
+
+        ``spill``: SOAR-style spilled assignments (ScaNN) — the ``spill``
+        fraction of points with the smallest (d2 - d1) margin are ALSO
+        stored in their second-nearest cluster. Fixes the recall ceiling
+        when the neighbor radius exceeds the cell radius (neighbors
+        straddling a Voronoi boundary get found from either side) at the
+        cost of `spill`×N duplicate rows in the copied layout."""
         live = index._live_slots()
         n = len(live)
         if n_partitions is None:
@@ -136,18 +146,58 @@ class IVFPartitions:
         starts = np.searchsorted(sorted_assigns, np.arange(c))
         ends = np.searchsorted(sorted_assigns, np.arange(c), side="right")
 
+        spill_lists = [None] * c
+        if spill > 0 and c > 1 and n > 1:
+            from .kmeans import assign_flat
+
+            pt = min(8192, 1 << (n - 1).bit_length())
+            n_pad = ((n + pt - 1) // pt) * pt
+            rows_p = (
+                jnp.concatenate(
+                    [rows, jnp.broadcast_to(rows[:1], (n_pad - n, rows.shape[1]))]
+                )
+                if n_pad > n
+                else rows
+            )
+            ct = min(16384, 1 << (c - 1).bit_length())
+            _, d1, a2, d2 = assign_flat(
+                km_metric, rows_p, jnp.asarray(centroids), pt, ct, True
+            )
+            a2 = np.asarray(a2[:n])
+            margin = np.asarray(d2[:n], np.float64) - np.asarray(d1[:n], np.float64)
+            ok = (a2 >= 0) & (a2 < c) & (margin < 1e37)
+            spill_n = min(int(spill * n), int(ok.sum()))
+            if spill_n:
+                cand = np.nonzero(ok)[0]
+                sel = cand[np.argsort(margin[cand], kind="stable")[:spill_n]]
+                spill_slots = live[sel].astype(np.int32)
+                spill_into = a2[sel]
+                so = np.argsort(spill_into, kind="stable")
+                s_into, s_slots = spill_into[so], spill_slots[so]
+                s_start = np.searchsorted(s_into, np.arange(c))
+                s_end = np.searchsorted(s_into, np.arange(c), side="right")
+                for ci in range(c):
+                    if s_end[ci] > s_start[ci]:
+                        spill_lists[ci] = s_slots[s_start[ci] : s_end[ci]]
+
         chunk_rows = []
         chunk_centroids = []
         for ci in range(c):
             members = sorted_slots[starts[ci] : ends[ci]]
+            if spill_lists[ci] is not None:
+                members = np.concatenate([members, spill_lists[ci]])
             for off in range(0, max(len(members), 1), p_max):
                 chunk_rows.append(members[off : off + p_max])
                 chunk_centroids.append(centroids[ci])
         return chunk_rows, np.stack(chunk_centroids), p_max, n
 
     @staticmethod
-    def build(index, n_partitions: Optional[int] = None) -> "IVFPartitions":
-        chunk_rows, centroids, p_max, n = IVFPartitions._quantize(index, n_partitions)
+    def build(
+        index, n_partitions: Optional[int] = None, spill: float = 0.0
+    ) -> "IVFPartitions":
+        chunk_rows, centroids, p_max, n = IVFPartitions._quantize(
+            index, n_partitions, spill=spill
+        )
         c = len(chunk_rows)
         part_slots = np.full((c, p_max), -1, dtype=np.int32)
         for ci, members in enumerate(chunk_rows):
@@ -159,7 +209,7 @@ class IVFPartitions:
         part_table = index._table[safe]            # [C, P, D]
         part_stats = index._stats[safe]            # [C, P, 2]
 
-        return IVFPartitions(
+        out = IVFPartitions(
             centroids=jnp.asarray(centroids),
             part_table=part_table,
             part_stats=part_stats,
@@ -167,6 +217,8 @@ class IVFPartitions:
             avg_rows=max(n / c, 1.0),
             built_count=n,
         )
+        out.spilled = spill > 0
+        return out
 
     @staticmethod
     def build_inplace(index, n_partitions: Optional[int] = None) -> "IVFPartitions":
@@ -274,7 +326,9 @@ class IVFPartitions:
                 self.p_win,
                 self.block,
             )
-        return _ivf_probe_search(
+        kk = min(2 * k, int(self.part_slots.shape[0] * self.part_slots.shape[1])) \
+            if self.spilled else k
+        d, slots = _ivf_probe_search(
             index._metric_kind,
             index._dtype,
             q,
@@ -284,9 +338,30 @@ class IVFPartitions:
             self.part_stats,
             self.part_slots,
             index._ndim,
-            k,
+            kk,
             nprobe,
         )
+        if self.spilled and kk > k:
+            # spilled rows live in two partitions: a probe that hits both
+            # yields the same slot twice; keep first occurrences, trim to k
+            d_np = np.asarray(d)
+            s_np = np.asarray(slots)
+            out_d = np.full((d_np.shape[0], k), MASKED, np.float32)
+            out_s = np.full((d_np.shape[0], k), -1, np.int32)
+            for qi in range(d_np.shape[0]):
+                seen, w = set(), 0
+                for j in range(kk):
+                    s = int(s_np[qi, j])
+                    if s < 0 or s in seen:
+                        continue
+                    seen.add(s)
+                    out_d[qi, w] = d_np[qi, j]
+                    out_s[qi, w] = s
+                    w += 1
+                    if w == k:
+                        break
+            return out_d, out_s
+        return d, slots
 
 
 

@@ -28,9 +28,14 @@ from .enums import MetricKind, normalize_metric
 _ASSIGN_TILE = 16384
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def assign_flat(
-    metric: MetricKind, points, centroids, point_tile: int = 8192, cent_tile: int = 16384
+    metric: MetricKind,
+    points,
+    centroids,
+    point_tile: int = 8192,
+    cent_tile: int = 16384,
+    top2: bool = False,
 ):
     """Nearest-centroid assignment over the FLAT centroid list, nested-tiled
     so neither the [tile, k] score block nor any one-hot ever exceeds
@@ -41,7 +46,9 @@ def assign_flat(
 
     points [N, D] (any dtype, N % point_tile == 0 — pre-pad), centroids
     [K, D] f32 (padded internally to a cent_tile multiple). Returns
-    (assignments i32 [N], best distance f32 [N])."""
+    (assignments i32 [N], best distance f32 [N]); with ``top2``,
+    (a1 [N], d1 [N], a2 [N], d2 [N]) — the two nearest distinct centroids
+    (the spilled-assignment primitive, ScaNN-SOAR style)."""
     n, d = points.shape
     k = centroids.shape[0]
     k_pad = ((k + cent_tile - 1) // cent_tile) * cent_tile
@@ -62,7 +69,6 @@ def assign_flat(
         t_norm = jnp.sqrt(t_sq)
 
         def cent_body(carry, xs):
-            best_d, best_i = carry
             cents, c_sq, pen, offset = xs
             dots = jax.lax.dot_general(
                 t16, cents, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -74,6 +80,19 @@ def assign_flat(
             else:
                 dists = jnp.maximum(t_sq + c_sq[None, :] - 2.0 * dots, 0.0)
             dists = dists + pen[None, :]
+            if top2:
+                b1d, b2d, b1i, b2i = carry
+                neg2, sel2 = jax.lax.top_k(-dists, 2)
+                t1d, t2d = -neg2[:, 0], -neg2[:, 1]
+                t1i = sel2[:, 0].astype(jnp.int32) + offset
+                t2i = sel2[:, 1].astype(jnp.int32) + offset
+                # merge 4 candidates (all distinct centroid ids) into top-2
+                cd = jnp.stack([b1d, b2d, t1d, t2d], axis=1)
+                ci_ = jnp.stack([b1i, b2i, t1i, t2i], axis=1)
+                negm, selm = jax.lax.top_k(-cd, 2)
+                im = jnp.take_along_axis(ci_, selm, axis=1)
+                return (-negm[:, 0], -negm[:, 1], im[:, 0], im[:, 1]), None
+            best_d, best_i = carry
             tile_best = jnp.min(dists, axis=1)
             tile_arg = jnp.argmin(dists, axis=1).astype(jnp.int32) + offset
             better = tile_best < best_d
@@ -82,19 +101,35 @@ def assign_flat(
                 jnp.where(better, tile_arg, best_i),
             ), None
 
-        init = (
-            jnp.full((point_tile,), 3.0e38, jnp.float32),
-            jnp.full((point_tile,), -1, jnp.int32),
-        )
+        if top2:
+            init = (
+                jnp.full((point_tile,), 3.0e38, jnp.float32),
+                jnp.full((point_tile,), 3.0e38, jnp.float32),
+                jnp.full((point_tile,), -1, jnp.int32),
+                jnp.full((point_tile,), -1, jnp.int32),
+            )
+        else:
+            init = (
+                jnp.full((point_tile,), 3.0e38, jnp.float32),
+                jnp.full((point_tile,), -1, jnp.int32),
+            )
         xs = (
             c16.reshape(n_ct, cent_tile, d),
             c_sq_all.reshape(n_ct, cent_tile),
             c_pen.reshape(n_ct, cent_tile),
             jnp.arange(n_ct, dtype=jnp.int32) * cent_tile,
         )
+        if top2:
+            (d1, d2, i1, i2), _ = jax.lax.scan(cent_body, init, xs)
+            return None, (i1, d1, i2, d2)
         (bd, bi), _ = jax.lax.scan(cent_body, init, xs)
         return None, (bi, bd)
 
+    if top2:
+        _, (a1, d1, a2, d2) = jax.lax.scan(
+            point_body, None, points.reshape(n // point_tile, point_tile, d)
+        )
+        return a1.reshape(n), d1.reshape(n), a2.reshape(n), d2.reshape(n)
     _, (assigns, bests) = jax.lax.scan(
         point_body, None, points.reshape(n // point_tile, point_tile, d)
     )
