@@ -13,16 +13,24 @@ never holds two copies (a gather permutation would need 2 x 12.8 GiB).
 
 Pipeline:
   1. generate 100,007,936 x 128(=96d padded) unit-norm i8 rows on device;
-  2. fit the coarse quantizer: kmeans_hierarchical, k=65536 (two-level,
-     kmeans.py — flat Lloyd's is ~7.7e17 FLOP/iter at this scale);
-  3. host: argsort assignments, split clusters at 1.5x avg depth (dense
+  2. fit the coarse quantizer: kmeans_hierarchical (two-level + final flat
+     re-assignment pass — greedy assignment caps recall, see kmeans.py);
+  3. exact ground truth + exact QPS on the identity table (positions ==
+     original ids);
+  4. optional SOAR spill (B100M_SPILL): boundary rows duplicated into their
+     second-nearest cluster — free under regeneration, recall computed on
+     original ids with host dedup;
+  5. host: argsort assignments, split clusters at 1.5x avg depth (dense
      chunking, ivf.py:_quantize semantics) -> starts/lens/chunk centroids;
-  4. delete table, regenerate rows in cluster-major order;
-  5. measure exact-scan QPS + ground truth, then _ivf_probe_search_dense
-     QPS + recall@10 per nprobe.
+  6. delete table, regenerate rows in cluster-major order (duplicates
+     included);
+  7. _ivf_probe_search_dense QPS + recall@10 per nprobe; optional
+     small-batch run (B100M_SMALL_Q) for the latency regime, where the
+     exact scan's batch amortization vanishes.
 
+Env knobs: B100M_{N,C,Q,K,NPROBES,SIGMA,SPILL,SMALL_Q,FLAT,CPU}.
 Run: nohup python bench100m_ivf.py > /tmp/b100m_ivf.log 2>&1 &
-(expect ~1-2 h; the quantizer fit dominates)
+(~20 min; the quantizer fit dominates)
 """
 import functools
 import os
@@ -51,6 +59,8 @@ D, W = 96, 128
 K, Q = int(os.environ.get("B100M_K", 10)), int(os.environ.get("B100M_Q", 1024))
 N_CENTROIDS = int(os.environ.get("B100M_C", 65536))
 NPROBES = [int(x) for x in os.environ.get("B100M_NPROBES", "1,4,8,16").split(",")]
+SPILL = float(os.environ.get("B100M_SPILL", "0"))  # SOAR fraction (dup rows)
+SMALL_Q = int(os.environ.get("B100M_SMALL_Q", "0"))  # extra small-batch run
 GCHUNKS = 128  # generation chunks: f32 temp = N/GCHUNKS*W*4 ≈ 400 MB
 
 # Data model: a mixture of NB unit-norm blob centers with Gaussian spread —
@@ -103,7 +113,7 @@ def gen_queries(rng_seed, n_q):
 
 @jax.jit
 def make_table(order):  # order: [N] i32 row ids to generate, in position order
-    return jax.lax.map(gen_block, order.reshape(GCHUNKS, -1)).reshape(N, W)
+    return jax.lax.map(gen_block, order.reshape(GCHUNKS, -1)).reshape(-1, W)
 
 
 @jax.jit
@@ -111,11 +121,11 @@ def make_stats(table):
     def one(rows):
         return row_stats(rows, ScalarKind.I8)
 
-    return jax.lax.map(one, table.reshape(GCHUNKS, -1, W)).reshape(N, 2)
+    return jax.lax.map(one, table.reshape(GCHUNKS, -1, W)).reshape(-1, 2)
 
 
 def main():
-    log(f"N={N} table={N*W/2**30:.1f}GiB centroids={N_CENTROIDS}")
+    log(f"N={N} table={N*W/2**30:.1f}GiB centroids={N_CENTROIDS} spill={SPILL}")
     identity = jnp.arange(N, dtype=jnp.int32)
     table = make_table(identity)
     table.block_until_ready()
@@ -130,11 +140,76 @@ def main():
     ncent = centroids.shape[0]
     log(f"quantizer fit: {ncent} centroids")
 
+    # ---- optional SOAR spill: boundary rows also stored in their 2nd-
+    # nearest cluster. Regeneration makes duplication free (the `order`
+    # array simply repeats a row id); recall is computed on ORIGINAL ids.
+    if SPILL > 0:
+        from usearch_tpu.kmeans import assign_flat
+
+        _, d1, a2, d2 = assign_flat(
+            MetricKind.IP, table, jnp.asarray(centroids), 8192, 16384, True
+        )
+        a2 = np.asarray(a2)
+        margin = np.asarray(d2, np.float64) - np.asarray(d1, np.float64)
+        del d1, d2
+        spill_n = int(SPILL * N)
+        sel = np.argpartition(margin, spill_n)[:spill_n]
+        spill_ids = sel.astype(np.int32)
+        spill_into = a2[sel].astype(np.int64)
+        del margin, a2
+        log(f"spill: {spill_n} rows duplicated ({SPILL:.0%})")
+    else:
+        spill_ids = np.zeros(0, np.int32)
+        spill_into = np.zeros(0, np.int64)
+
+    # ---- held-out query sets ----
+    qsets = [gen_queries(100 + i, Q) for i in range(3)]
+    for qs in qsets:
+        qs.block_until_ready()
+
+    # ---- exact ground truth + exact QPS on the IDENTITY table ----
+    # (positions == original ids; scan cost is order-independent, so the
+    # exact numbers transfer. table/stats/valid are explicit jit args — a
+    # closed-over device array becomes a lowered-module CONSTANT.)
+    stats = make_stats(table)
+    valid = jnp.ones((N,), jnp.bool_)
+
+    @functools.partial(jax.jit, static_argnums=(4, 5))
+    def exact_fn(q, table, stats, valid, approx, k):
+        qs = row_stats(q, ScalarKind.I8)
+        return scan_topk(
+            MetricKind.IP, ScalarKind.I8, q, qs, table, stats, valid, k, 65536, D, None, approx
+        )[1]
+
+    def exact(q, approx=False, k=K):
+        return exact_fn(q, table, stats, valid, approx, k)
+
+    gt = [np.asarray(exact(qsets[0]))]  # compiles + warms
+    t1 = time.perf_counter()
+    gt.append(np.asarray(exact(qsets[1])))
+    exact_dt = time.perf_counter() - t1
+    gt.append(np.asarray(exact(qsets[2])))
+    log(f"exact scan: {exact_dt*1000:.0f} ms/{Q} queries -> {Q/exact_dt:.0f} QPS")
+
+    # the index's default SERVING exact mode (approx_min_k per tile)
+    _ = np.asarray(exact(qsets[0], True))
+    t1 = time.perf_counter()
+    ax1 = np.asarray(exact(qsets[1], True))
+    approx_dt = time.perf_counter() - t1
+    arec = np.mean([len(set(a.tolist()) & set(b.tolist())) / K for a, b in zip(ax1, gt[1])])
+    log(f"exact-serving (approx merge): {Q/approx_dt:.0f} QPS recall@10={arec:.4f}")
+
     # ---- host: dense cluster-major chunking (ivf._quantize semantics) ----
-    counts = np.bincount(assigns, minlength=ncent)
-    avg = max(int(np.ceil(N / ncent)), 1)
+    assigns_all = np.concatenate([assigns, spill_into])
+    ids_all = np.concatenate([np.arange(N, dtype=np.int32), spill_ids])
+    counts = np.bincount(assigns_all, minlength=ncent)
+    n_total = len(ids_all)
+    n_pad = ((n_total + GCHUNKS * 8 - 1) // (GCHUNKS * 8)) * (GCHUNKS * 8)
+    avg = max(int(np.ceil(n_total / ncent)), 1)
     p_cap = ((int(1.5 * avg) + 7) // 8) * 8
-    order = np.argsort(assigns, kind="stable").astype(np.int32)
+    order = np.full(n_pad, 0, np.int32)
+    order[:n_total] = ids_all[np.argsort(assigns_all, kind="stable")]
+    del assigns_all, ids_all
 
     starts_l, lens_l, cent_l = [], [], []
     pos = 0
@@ -153,12 +228,13 @@ def main():
     p_win = max(((int(lens.max()) + 7) // 8) * 8, 8)
     chunk_cents = centroids[np.asarray(cent_l)]
     log(
-        f"chunks={len(starts)} p_win={p_win} avg={avg} "
+        f"chunks={len(starts)} p_win={p_win} avg={avg} rows={n_total} "
         f"maxcount={counts.max()} empty={int((counts==0).sum())}"
     )
 
     # ---- regenerate in cluster-major order (never 2 copies in HBM) ----
     table.delete()
+    stats.delete()
     order_dev = jnp.asarray(order)
     table = make_table(order_dev)
     table.block_until_ready()
@@ -166,56 +242,42 @@ def main():
     log("cluster-major table regenerated")
 
     stats = make_stats(table)
-    valid = jnp.ones((N,), jnp.bool_)
+    valid = jnp.arange(n_pad) < n_total  # tail padding rows never match
     cents_dev = jnp.asarray(chunk_cents)
     starts_dev = jnp.asarray(starts)
     lens_dev = jnp.asarray(lens)
     dummy = jnp.zeros((1,), jnp.float32)  # stats unused for IP
+    # over-fetch 2K then dedup: every spilled row can appear twice among the
+    # candidates, so K+eps under-fetches exactly when probing works best
+    k_fetch = 2 * K if SPILL > 0 else K
 
-    # ---- held-out query sets ----
-    qsets = [gen_queries(100 + i, Q) for i in range(3)]
-    for qs in qsets:
-        qs.block_until_ready()
-    log("queries staged")
+    def to_orig(ids):
+        """probe positions -> original row ids, dedup, trim to K."""
+        out = np.full((ids.shape[0], K), -1, np.int64)
+        for r in range(ids.shape[0]):
+            seen, w = set(), 0
+            for p in ids[r]:
+                if p < 0:
+                    continue
+                o = int(order[p])
+                if o in seen:
+                    continue
+                seen.add(o)
+                out[r, w] = o
+                w += 1
+                if w == K:
+                    break
+        return out
 
-    # ---- exact ground truth + exact QPS ----
-    # NOTE: table/stats/valid MUST be explicit jit arguments — a closed-over
-    # device array is captured as a CONSTANT in the lowered module (12.9 GB
-    # shipped through the remote-compile tunnel).
-    @functools.partial(jax.jit, static_argnums=(4,))
-    def exact_fn(q, table, stats, valid, approx):
-        qs = row_stats(q, ScalarKind.I8)
-        return scan_topk(
-            MetricKind.IP, ScalarKind.I8, q, qs, table, stats, valid, K, 65536, D, None, approx
-        )[1]
-
-    def exact(q, approx=False):
-        return exact_fn(q, table, stats, valid, approx)
-
-    gt = [np.asarray(exact(qs)) for qs in qsets[:1]]  # compiles + warms
-    t1 = time.perf_counter()
-    gt.append(np.asarray(exact(qsets[1])))
-    exact_dt = time.perf_counter() - t1
-    gt.append(np.asarray(exact(qsets[2])))
-    log(f"exact scan: {exact_dt*1000:.0f} ms/{Q} queries -> {Q/exact_dt:.0f} QPS")
-
-    # the index's default SERVING exact mode (approx_min_k per tile) — the
-    # baseline IVF must beat; GT above stays truly exact
-    _ = np.asarray(exact(qsets[0], True))
-    t1 = time.perf_counter()
-    ax1 = np.asarray(exact(qsets[1], True))
-    approx_dt = time.perf_counter() - t1
-    arec = np.mean([len(set(a.tolist()) & set(b.tolist())) / K for a, b in zip(ax1, gt[1])])
-    log(f"exact-serving (approx merge): {Q/approx_dt:.0f} QPS recall@10={arec:.4f}")
+    gt_orig = [g for g in gt]  # identity table: positions ARE original ids
 
     # ---- IVF sweep ----
     results = []
     for nprobe in NPROBES:
         def ivf(q, nprobe=nprobe):
-            # _ivf_probe_search_dense is itself jitted with array args
             return _ivf_probe_search_dense(
                 MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
-                starts_dev, lens_dev, D, K, nprobe, p_win, _DENSE_BLOCK,
+                starts_dev, lens_dev, D, k_fetch, nprobe, p_win, _DENSE_BLOCK,
             )[1]
 
         _ = np.asarray(ivf(qsets[0]))  # compile + warm
@@ -223,20 +285,44 @@ def main():
         ids1 = np.asarray(ivf(qsets[1]))
         dt = time.perf_counter() - t1
         ids2 = np.asarray(ivf(qsets[2]))
+        got = to_orig(np.concatenate([ids1, ids2]))
+        want = np.concatenate(gt_orig[1:])
         rec = np.mean(
-            [
-                len(set(a.tolist()) & set(b.tolist())) / K
-                for a, b in zip(np.concatenate([ids1, ids2]), np.concatenate(gt[1:]))
-            ]
+            [len(set(a.tolist()) & set(b.tolist())) / K for a, b in zip(got, want)]
         )
         qps = Q / dt
         results.append((nprobe, qps, rec))
         log(f"IVF nprobe={nprobe}: {qps:.0f} QPS, recall@10={rec:.4f}")
 
-    log("SUMMARY 100M x 96d i8, C=%d chunks=%d" % (ncent, len(starts)))
-    log(f"exact: {Q/exact_dt:.0f} QPS recall 1.0")
+    # ---- small-batch latency regime (exact amortization vanishes) ----
+    small = []
+    if SMALL_Q:
+        sq = [qs[:SMALL_Q] for qs in qsets]
+        nprobe = NPROBES[-1]
+
+        def ivf_s(q):
+            return _ivf_probe_search_dense(
+                MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
+                starts_dev, lens_dev, D, k_fetch, nprobe, p_win, _DENSE_BLOCK,
+            )[1]
+
+        _ = np.asarray(ivf_s(sq[0]))
+        t1 = time.perf_counter()
+        ids1 = np.asarray(ivf_s(sq[1]))
+        dt_ivf = time.perf_counter() - t1
+        got = to_orig(ids1)
+        rec_s = np.mean(
+            [len(set(a.tolist()) & set(b.tolist())) / K
+             for a, b in zip(got, gt_orig[1][:SMALL_Q])]
+        )
+        small.append(("ivf", nprobe, SMALL_Q / dt_ivf, rec_s))
+        log(f"small-batch Q={SMALL_Q} IVF nprobe={nprobe}: "
+            f"{SMALL_Q/dt_ivf:.0f} QPS ({dt_ivf*1000:.1f} ms) recall@10={rec_s:.4f}")
+
+    log("SUMMARY 100M x 96d i8, C=%d chunks=%d spill=%.2f" % (ncent, len(starts), SPILL))
+    log(f"exact: {Q/exact_dt:.0f} QPS recall 1.0; serving {Q/approx_dt:.0f} QPS recall {arec:.4f}")
     for nprobe, qps, rec in results:
-        log(f"nprobe={nprobe}: {qps:.0f} QPS recall@10={rec:.4f} ({qps*exact_dt/Q:.1f}x exact)")
+        log(f"nprobe={nprobe}: {qps:.0f} QPS recall@10={rec:.4f} ({qps*approx_dt/Q:.1f}x exact-serving)")
 
 
 if __name__ == "__main__":

@@ -71,8 +71,12 @@ def _epilogue_t(metric: MetricKind, dots, q_aux, t_aux, shifted: bool = False):
     8-bit mantissa buys ~2⁸× finer absolute resolution. Only valid when the
     selected winners are re-scored exactly afterwards (compact mode)."""
     dots = dots.astype(jnp.float32)
-    t_sq = t_aux[0, :][:, None]
-    penalty = t_aux[2, :][:, None]
+    if t_aux.shape[0] == 1:  # lean IP aux: penalty row only
+        t_sq = None
+        penalty = t_aux[0, :][:, None]
+    else:
+        t_sq = t_aux[0, :][:, None]
+        penalty = t_aux[2, :][:, None]
     q_sq = q_aux[0, :][None, :]
     if metric == MetricKind.IP:
         d = -dots if shifted else 1.0 - dots
@@ -535,9 +539,16 @@ def pallas_search_binned(
     total_bins = n // _LANES
 
     penalty = jnp.where(valid, 0.0, MASKED).astype(jnp.float32)
-    t_aux = jnp.stack(
-        [stats[:, 0], stats[:, 1], penalty, jnp.zeros_like(penalty)], axis=0
-    )
+    if metric == MetricKind.IP and transposed:
+        # lean aux: IP's epilogue uses only the penalty row — a [1, N]
+        # surface instead of [4, N] (saves 1.2 GB of HBM at 100M rows)
+        t_aux = penalty[None, :]
+        aux_rows = 1
+    else:
+        t_aux = jnp.stack(
+            [stats[:, 0], stats[:, 1], penalty, jnp.zeros_like(penalty)], axis=0
+        )
+        aux_rows = 4
     qf = q.astype(jnp.float32)
     q_aux = jnp.stack([jnp.sum(qf * qf, axis=1), jnp.sum(qf, axis=1)], axis=0)
 
@@ -556,7 +567,7 @@ def pallas_search_binned(
             pl.BlockSpec((q_tile, d_width), lambda qi, ti: (qi, 0)),
             pl.BlockSpec((2, q_tile), lambda qi, ti: (0, qi)),
             pl.BlockSpec((t_tile, d_width), lambda qi, ti: (ti, 0)),
-            pl.BlockSpec((4, t_tile), lambda qi, ti: (0, ti)),
+            pl.BlockSpec((aux_rows, t_tile), lambda qi, ti: (0, ti)),
         ],
         out_specs=[
             pl.BlockSpec((n_bins, q_tile), lambda qi, ti: (ti, qi)),
