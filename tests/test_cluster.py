@@ -329,3 +329,27 @@ def test_ivf_spill_lifts_boundary_recall(rng):
 
     with _pytest.raises(ValueError):
         ix0.optimize(n_partitions=64, reorder=True, spill=0.1)
+
+
+def test_staged_topk_matches_exact(rng):
+    """The per-lane staged selection equals exact top_k (random lanes hold
+    <= m of the true top-k with overwhelming probability at these sizes)."""
+    import jax.numpy as jnp
+    import jax
+
+    from usearch_tpu.ivf import _staged_topk
+
+    chunk, width, kk = 16, 4096, 10
+    dist = jnp.asarray(rng.standard_normal((chunk, width)), jnp.float32)
+    cand = jnp.asarray(rng.integers(0, 1 << 30, (chunk, width)), jnp.int32)
+    d_s, i_s = jax.jit(_staged_topk, static_argnums=(2,))(dist, cand, kk)
+    neg, sel = jax.lax.top_k(-dist, kk)
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(-neg), rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(i_s), np.asarray(jnp.take_along_axis(cand, sel, axis=1))
+    )
+    # fallback path (width too narrow for staging) also exact
+    d2, c2 = dist[:, :512], cand[:, :512]
+    d_f, i_f = _staged_topk(d2, c2, kk)
+    neg2, sel2 = jax.lax.top_k(-d2, kk)
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(-neg2), rtol=1e-6)
