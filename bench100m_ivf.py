@@ -132,10 +132,16 @@ def main():
     log("initial table built")
 
     # ---- coarse quantizer (the expensive step) ----
+    # With spill, the hierarchical fit SKIPS its internal flat pass and ONE
+    # top-2 flat sweep provides both the Voronoi assignment (a1) and the
+    # spill targets (a2) — half the passes and half the peak of running two
+    # flat sweeps back-to-back (a full second sweep crashed the TPU worker
+    # at 100M: table 11.9 GiB + both sweeps' carry/outputs).
+    use_flat = os.environ.get("B100M_FLAT", "1") == "1"
     assigns, _, centroids = kmeans_hierarchical(
         table, N_CENTROIDS, metric=MetricKind.IP, max_iterations=20, seed=0,
         return_dists=False,
-        flat_assign=os.environ.get("B100M_FLAT", "1") == "1",
+        flat_assign=use_flat and SPILL == 0,
     )
     ncent = centroids.shape[0]
     log(f"quantizer fit: {ncent} centroids")
@@ -146,9 +152,12 @@ def main():
     if SPILL > 0:
         from usearch_tpu.kmeans import assign_flat
 
-        _, d1, a2, d2 = assign_flat(
+        a1, d1, a2, d2 = assign_flat(
             MetricKind.IP, table, jnp.asarray(centroids), 8192, 16384, True
         )
+        if use_flat:
+            assigns = np.asarray(a1, dtype=np.int64)
+        del a1
         a2 = np.asarray(a2)
         margin = np.asarray(d2, np.float64) - np.asarray(d1, np.float64)
         del d1, d2
@@ -157,7 +166,7 @@ def main():
         spill_ids = sel.astype(np.int32)
         spill_into = a2[sel].astype(np.int64)
         del margin, a2
-        log(f"spill: {spill_n} rows duplicated ({SPILL:.0%})")
+        log(f"spill: {spill_n} rows duplicated ({SPILL:.0%}); flat via top2 pass")
     else:
         spill_ids = np.zeros(0, np.int32)
         spill_into = np.zeros(0, np.int64)
