@@ -161,7 +161,7 @@ def main():
         a2 = np.asarray(a2)
         margin = np.asarray(d2, np.float64) - np.asarray(d1, np.float64)
         del d1, d2
-        spill_n = int(SPILL * N)
+        spill_n = min(int(SPILL * N), N - 1)  # argpartition needs kth < N
         sel = np.argpartition(margin, spill_n)[:spill_n]
         spill_ids = sel.astype(np.int32)
         spill_into = a2[sel].astype(np.int64)

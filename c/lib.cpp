@@ -180,13 +180,18 @@ def change_metric(h, fn_ptr, state_ptr, kind_id):
 
 
 def _host_search(index, f, q, k, keys_ptr, dists_ptr, allowed):
-    keys = np.asarray(index.keys, dtype=np.uint64)
+    # slot-aligned fetch: keys may repeat under `multi`, and get() would
+    # return ragged per-key matrices — walking live SLOTS keeps rows[i]
+    # aligned with keys[i] in every mode
+    slots = index._live_slots()
+    keys = index._slot_keys[slots].astype(np.uint64)
     if allowed is not None:
-        keys = keys[np.isin(keys, allowed)]
+        m = np.isin(keys, allowed)
+        keys, slots = keys[m], slots[m]
     if keys.size == 0:
         return 0
     rows = np.atleast_2d(
-        np.ascontiguousarray(np.asarray(index.get(keys, index.dtype.value)))
+        np.ascontiguousarray(index._fetch_slots(slots, index.dtype))
     )
     q = np.ascontiguousarray(q)
     dists = np.empty(rows.shape[0], np.float32)
@@ -623,8 +628,12 @@ void usearch_metadata_buffer(void const* buffer, size_t length, usearch_init_opt
     if (error) *error = nullptr;
     PyObject* r = call_helper(error, "metadata_buffer", "(KK)",
                               (unsigned long long)(uintptr_t)buffer, (unsigned long long)length);
-    if (!r || !options)
+    if (!r)
         return;
+    if (!options) {
+        Py_DECREF(r);
+        return;
+    }
     unsigned long long metric = 0, scalar = 0, dims = 0, multi = 0;
     if (PyArg_ParseTuple(r, "KKKK", &metric, &scalar, &dims, &multi)) {
         options->metric_kind = (usearch_metric_kind_t)metric;

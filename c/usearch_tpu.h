@@ -98,9 +98,12 @@ void usearch_change_metric_kind(usearch_index_t index, usearch_metric_kind_t kin
                                 usearch_error_t* error);
 
 /** Install a custom metric. Stateless when `state` is NULL — f(a, b);
- *  stateful otherwise — f(a, b, state) (reference index_plugins.hpp:1799).
- *  Searches on such an index run HOST-side per pair, matching the
- *  reference's CPU UDF cost model. */
+ *  stateful otherwise — the function is INVOKED as f(a, b, state), i.e. a
+ *  3-argument function cast to usearch_metric_t, exactly the reference's
+ *  contract (metric_punned_t::stateful passes the state as the third
+ *  argument, index_plugins.hpp:1799-1812; the reference's usearch_metric_t
+ *  typedef is likewise 2-arg). Searches on such an index run HOST-side per
+ *  pair, matching the reference's CPU UDF cost model. */
 void usearch_change_metric(usearch_index_t index, usearch_metric_t metric, void* state,
                            usearch_metric_kind_t kind, usearch_error_t* error);
 

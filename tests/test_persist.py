@@ -110,3 +110,20 @@ def test_ivf_structure_survives_save_load_view(rng, tmp_path):
     again = Index.restore(p2)
     assert again._ivf is None
     np.testing.assert_array_equal(again.search(X[:2], 3).keys[:, 0], [0, 1])
+
+
+def test_serialized_length_exact(rng):
+    """serialized_length matches the buffer byte-for-byte — with and without
+    a persisted IVF structure (the usearch_save_buffer sizing contract)."""
+    from usearch_tpu import Index
+    from usearch_tpu.persist import save_index_to_buffer
+
+    ix = Index(ndim=16, metric="l2sq", dtype="f32")
+    ix.add(None, rng.standard_normal((300, 16)).astype(np.float32))
+    assert ix.serialized_length == len(save_index_to_buffer(ix))
+
+    ix.optimize(n_partitions=8, reorder=True)  # persisted dense IVF
+    assert ix.serialized_length == len(save_index_to_buffer(ix))
+
+    empty = Index(ndim=16, metric="l2sq", dtype="f32")
+    assert empty.serialized_length == len(save_index_to_buffer(empty))

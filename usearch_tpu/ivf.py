@@ -117,18 +117,63 @@ class IVFPartitions:
         )
         if n_partitions > 4096:
             # flat Lloyd's is ∝ N·k·D per iteration — infeasible at the
-            # 100M-row / 30k-partition scale; two-level fit is ~√k cheaper
+            # 100M-row / 30k-partition scale; two-level fit is ~√k cheaper.
+            # With spill, SKIP the fit's internal flat pass: the top-2 sweep
+            # below provides both the Voronoi assignment and the spill
+            # targets in one pass (two back-to-back sweeps double the FLOPs
+            # and the HBM peak).
             from .kmeans import kmeans_hierarchical
 
             assigns, _, centroids = kmeans_hierarchical(
                 rows, n_partitions, metric=km_metric, max_iterations=25, seed=0,
-                return_dists=False,
+                return_dists=False, flat_assign=spill <= 0,
             )
         else:
             assigns, _, centroids = kmeans_fit(
                 rows, n_partitions, metric=km_metric, max_iterations=25, seed=0
             )
         c = centroids.shape[0]
+
+        # SOAR spill sweep FIRST — at large c it also provides the Voronoi
+        # assignment (a1), so everything below derives from the final assigns
+        spill_lists = [None] * c
+        if spill > 0 and c > 1 and n > 1:
+            from .kmeans import assign_flat
+
+            pt = min(8192, 1 << (n - 1).bit_length())
+            n_pad = ((n + pt - 1) // pt) * pt
+            rows_p = (
+                jnp.concatenate(
+                    [rows, jnp.broadcast_to(rows[:1], (n_pad - n, rows.shape[1]))]
+                )
+                if n_pad > n
+                else rows
+            )
+            ct = min(16384, 1 << (c - 1).bit_length())
+            a1, d1, a2, d2 = assign_flat(
+                km_metric, rows_p, jnp.asarray(centroids), pt, ct, True
+            )
+            if c > 4096:
+                # the hierarchical fit skipped its flat pass — a1 IS the
+                # Voronoi assignment
+                assigns = np.asarray(a1[:n], dtype=np.int64)
+            a2 = np.asarray(a2[:n])
+            margin = np.asarray(d2[:n], np.float64) - np.asarray(d1[:n], np.float64)
+            ok = (a2 >= 0) & (a2 < c) & (margin < 1e37)
+            spill_n = min(int(spill * n), int(ok.sum()), max(n - 1, 0))
+            if spill_n:
+                cand = np.nonzero(ok)[0]
+                sel = cand[np.argsort(margin[cand], kind="stable")[:spill_n]]
+                spill_slots = live[sel].astype(np.int32)
+                spill_into = a2[sel]
+                so = np.argsort(spill_into, kind="stable")
+                s_into, s_slots = spill_into[so], spill_slots[so]
+                s_start = np.searchsorted(s_into, np.arange(c))
+                s_end = np.searchsorted(s_into, np.arange(c), side="right")
+                for ci in range(c):
+                    if s_end[ci] > s_start[ci]:
+                        spill_lists[ci] = s_slots[s_start[ci] : s_end[ci]]
+
         counts = np.bincount(assigns, minlength=c)
         # Cap partition depth at 4x the average: a skewed cluster would
         # otherwise inflate the cluster-major layout (memory/padding ∝
@@ -145,40 +190,6 @@ class IVFPartitions:
         sorted_slots = live[order].astype(np.int32)
         starts = np.searchsorted(sorted_assigns, np.arange(c))
         ends = np.searchsorted(sorted_assigns, np.arange(c), side="right")
-
-        spill_lists = [None] * c
-        if spill > 0 and c > 1 and n > 1:
-            from .kmeans import assign_flat
-
-            pt = min(8192, 1 << (n - 1).bit_length())
-            n_pad = ((n + pt - 1) // pt) * pt
-            rows_p = (
-                jnp.concatenate(
-                    [rows, jnp.broadcast_to(rows[:1], (n_pad - n, rows.shape[1]))]
-                )
-                if n_pad > n
-                else rows
-            )
-            ct = min(16384, 1 << (c - 1).bit_length())
-            _, d1, a2, d2 = assign_flat(
-                km_metric, rows_p, jnp.asarray(centroids), pt, ct, True
-            )
-            a2 = np.asarray(a2[:n])
-            margin = np.asarray(d2[:n], np.float64) - np.asarray(d1[:n], np.float64)
-            ok = (a2 >= 0) & (a2 < c) & (margin < 1e37)
-            spill_n = min(int(spill * n), int(ok.sum()))
-            if spill_n:
-                cand = np.nonzero(ok)[0]
-                sel = cand[np.argsort(margin[cand], kind="stable")[:spill_n]]
-                spill_slots = live[sel].astype(np.int32)
-                spill_into = a2[sel]
-                so = np.argsort(spill_into, kind="stable")
-                s_into, s_slots = spill_into[so], spill_slots[so]
-                s_start = np.searchsorted(s_into, np.arange(c))
-                s_end = np.searchsorted(s_into, np.arange(c), side="right")
-                for ci in range(c):
-                    if s_end[ci] > s_start[ci]:
-                        spill_lists[ci] = s_slots[s_start[ci] : s_end[ci]]
 
         chunk_rows = []
         chunk_centroids = []
@@ -343,23 +354,19 @@ class IVFPartitions:
         )
         if self.spilled and kk > k:
             # spilled rows live in two partitions: a probe that hits both
-            # yields the same slot twice; keep first occurrences, trim to k
+            # yields the same slot twice; keep first occurrences (ascending
+            # distance order), trim to k. Vectorized: O(Q·kk²) numpy bools.
             d_np = np.asarray(d)
             s_np = np.asarray(slots)
-            out_d = np.full((d_np.shape[0], k), MASKED, np.float32)
-            out_s = np.full((d_np.shape[0], k), -1, np.int32)
-            for qi in range(d_np.shape[0]):
-                seen, w = set(), 0
-                for j in range(kk):
-                    s = int(s_np[qi, j])
-                    if s < 0 or s in seen:
-                        continue
-                    seen.add(s)
-                    out_d[qi, w] = d_np[qi, j]
-                    out_s[qi, w] = s
-                    w += 1
-                    if w == k:
-                        break
+            j = np.arange(kk)
+            dup = (s_np[:, :, None] == s_np[:, None, :]) & (j[None, None, :] < j[None, :, None])
+            bad = dup.any(-1) | (s_np < 0)
+            push = np.argsort(bad, axis=1, kind="stable")[:, :k]  # firsts forward
+            out_d = np.take_along_axis(d_np, push, axis=1)
+            out_s = np.take_along_axis(s_np, push, axis=1)
+            kept_bad = np.take_along_axis(bad, push, axis=1)
+            out_d[kept_bad] = MASKED
+            out_s[kept_bad] = -1
             return out_d, out_s
         return d, slots
 

@@ -81,17 +81,29 @@ def assign_flat(
                 dists = jnp.maximum(t_sq + c_sq[None, :] - 2.0 * dots, 0.0)
             dists = dists + pen[None, :]
             if top2:
+                # NO lax.top_k here: top_k inside this nested scan crashed
+                # the TPU worker at 100M x 65536 — two explicit min/argmin
+                # extractions + an elementwise sorted-pair merge instead.
                 b1d, b2d, b1i, b2i = carry
-                neg2, sel2 = jax.lax.top_k(-dists, 2)
-                t1d, t2d = -neg2[:, 0], -neg2[:, 1]
-                t1i = sel2[:, 0].astype(jnp.int32) + offset
-                t2i = sel2[:, 1].astype(jnp.int32) + offset
-                # merge 4 candidates (all distinct centroid ids) into top-2
-                cd = jnp.stack([b1d, b2d, t1d, t2d], axis=1)
-                ci_ = jnp.stack([b1i, b2i, t1i, t2i], axis=1)
-                negm, selm = jax.lax.top_k(-cd, 2)
-                im = jnp.take_along_axis(ci_, selm, axis=1)
-                return (-negm[:, 0], -negm[:, 1], im[:, 0], im[:, 1]), None
+                t1d = jnp.min(dists, axis=1)
+                am1 = jnp.argmin(dists, axis=1)
+                lane = jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1)
+                masked1 = jnp.where(lane == am1[:, None], jnp.float32(3.0e38), dists)
+                t2d = jnp.min(masked1, axis=1)
+                am2 = jnp.argmin(masked1, axis=1)
+                t1i = am1.astype(jnp.int32) + offset
+                t2i = am2.astype(jnp.int32) + offset
+                # merge sorted pairs (b1<=b2, t1<=t2) into the union's top-2
+                first = b1d <= t1d
+                n1d = jnp.where(first, b1d, t1d)
+                n1i = jnp.where(first, b1i, t1i)
+                n2d = jnp.where(first, jnp.minimum(b2d, t1d), jnp.minimum(t2d, b1d))
+                n2i = jnp.where(
+                    first,
+                    jnp.where(b2d <= t1d, b2i, t1i),
+                    jnp.where(t2d <= b1d, t2i, b1i),
+                )
+                return (n1d, n2d, n1i, n2i), None
             best_d, best_i = carry
             tile_best = jnp.min(dists, axis=1)
             tile_arg = jnp.argmin(dists, axis=1).astype(jnp.int32) + offset

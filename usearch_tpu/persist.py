@@ -121,15 +121,31 @@ def _serialize(index) -> tuple:
 def serialized_length(index) -> int:
     """EXACT byte length `save_index_to_buffer` will produce (the reference's
     serialized_length contract, index_dense.hpp — callers size
-    `usearch_save_buffer` buffers with it). Computed without fetching device
-    rows: header JSON + keys + logical row bytes + IVF payload sizes."""
-    keys_n = len(index._live_keys())
+    `usearch_save_buffer` buffers with it). Computed from counts and array
+    SHAPES only — no device row fetch, no payload byte materialization."""
+    keys_n = index._count
     header_dict = _header_dict(index, keys_n)
-    ivf_head, ivf_payload = _ivf_header_and_payload(index)
-    if ivf_head is not None:
-        header_dict["ivf"] = ivf_head
+    ivf = getattr(index, "_ivf", None)
+    payload_len = 0
+    if not (
+        ivf is None
+        or getattr(index, "_ivf_dirty", True)
+        or ivf.inplace_shape is None
+        or ivf.starts is None
+    ):
+        n_chunks = int(ivf.starts.shape[0])
+        width = int(ivf.centroids.shape[1])
+        header_dict["ivf"] = {
+            "n_chunks": n_chunks,
+            "p_win": int(ivf.p_win),
+            "block": int(ivf.block),
+            "avg_rows": float(ivf.avg_rows_per_part),
+            "built_count": int(ivf.built_count),
+            "centroid_width": width,
+        }
+        payload_len = n_chunks * (width * 4 + 4 + 4)  # f32 cents + i32 starts/lens
     header = json.dumps(header_dict).encode()
-    return 20 + len(header) + keys_n * (8 + index._logical_row_bytes()) + len(ivf_payload)
+    return 20 + len(header) + keys_n * (8 + index._logical_row_bytes()) + payload_len
 
 
 def save_index(index, path: str, progress=None) -> None:
