@@ -157,6 +157,21 @@ int main(void) {
         usearch_free(custom, &error);
     }
 
+    /* custom metric + multi: rows stay slot-aligned with repeated keys */
+    {
+        usearch_init_options_t mopts = opts;
+        mopts.multi = true;
+        usearch_index_t mm = usearch_init(&mopts, &error);
+        usearch_add(mm, 7, v1, usearch_scalar_f32_k, &error);
+        usearch_add(mm, 7, v3, usearch_scalar_f32_k, &error);
+        usearch_add(mm, 8, v2, usearch_scalar_f32_k, &error);
+        usearch_change_metric(mm, l1_metric, NULL, usearch_metric_unknown_k, &error);
+        found = usearch_search(mm, v3, usearch_scalar_f32_k, 3, keys, dists, &error);
+        CHECK(error == NULL && found == 3, error);
+        CHECK(keys[0] == 7 && dists[0] < 1e-6f, "multi custom metric self match");
+        usearch_free(mm, &error);
+    }
+
     /* thread hints are accepted */
     usearch_change_threads_add(index, 8, &error);
     usearch_change_threads_search(index, 8, &error);
