@@ -152,8 +152,13 @@ def main():
     if SPILL > 0:
         from usearch_tpu.kmeans import assign_flat
 
+        # point_tile 4096: the [tile, cent_tile] score block is the biggest
+        # temporary next to the 11.9 GiB table + 1.6 GiB top-2 outputs — at
+        # 8192 the sweep sat within ~1 GiB of the HBM ceiling and the worker
+        # crashed at 100M (B100M_TILE to override).
         a1, d1, a2, d2 = assign_flat(
-            MetricKind.IP, table, jnp.asarray(centroids), 8192, 16384, True
+            MetricKind.IP, table, jnp.asarray(centroids),
+            int(os.environ.get("B100M_TILE", 4096)), 16384, True,
         )
         if use_flat:
             assigns = np.asarray(a1, dtype=np.int64)

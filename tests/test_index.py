@@ -505,3 +505,60 @@ def test_fork_same_config_empty():
     assert len(c) == 4 and c._metric_fn is ix._metric_fn
     m = c.search(np.random.rand(8).astype(np.float32), 2)
     assert len(m) == 2
+
+
+def test_device_resident_add_matches_host():
+    """Device-resident ingest (jax.Array input, cast traced on device) must
+    produce bit-identical tables and searches vs the host numpy path —
+    including the reference's normalize-then-±127-truncate i8 quantization
+    (index_plugins.hpp:1172-1191)."""
+    import jax.numpy as jnp
+    from usearch_tpu import Index
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((37, 24)).astype(np.float32)
+    keys = np.arange(37, dtype=np.uint64)
+
+    for dtype in ("i8", "f16", "bf16", "f32"):
+        host = Index(ndim=24, metric="cos", dtype=dtype)
+        dev = Index(ndim=24, metric="cos", dtype=dtype)
+        host.add(keys, vecs)
+        dev.add(keys, jnp.asarray(vecs))
+        np.testing.assert_array_equal(
+            np.asarray(host._table[:37]), np.asarray(dev._table[:37])
+        )
+        got = dev.get(keys)
+        np.testing.assert_array_equal(got, host.get(keys))
+        mh = host.search(vecs[:5], 3)
+        md = dev.search(jnp.asarray(vecs[:5]), 3)
+        np.testing.assert_array_equal(mh.keys, md.keys)
+        np.testing.assert_allclose(mh.distances, md.distances, atol=1e-6)
+
+
+def test_device_resident_i8_passthrough_and_single():
+    """i8 device input into an i8 index is stored verbatim (no re-normalize),
+    and a single 1-d device vector round-trips through add/search."""
+    import jax.numpy as jnp
+    from usearch_tpu import Index
+
+    rng = np.random.default_rng(4)
+    raw = rng.integers(-127, 128, (9, 16), dtype=np.int8)
+    ix = Index(ndim=16, metric="ip", dtype="i8")
+    ix.add(np.arange(9, dtype=np.uint64), jnp.asarray(raw))
+    np.testing.assert_array_equal(np.asarray(ix._table[:9, :16]), raw)
+
+    one = jnp.asarray(rng.standard_normal(16).astype(np.float32))
+    k = ix.add(100, one)
+    assert k == 100
+    m = ix.search(one, 1)
+    assert m.keys[0] == 100
+
+
+def test_device_resident_rejects_bad_width():
+    import jax.numpy as jnp
+    import pytest
+    from usearch_tpu import Index
+
+    ix = Index(ndim=16, metric="ip", dtype="f32")
+    with pytest.raises(ValueError):
+        ix.add(np.arange(2, dtype=np.uint64), jnp.zeros((2, 8), jnp.float32))

@@ -197,7 +197,13 @@ def prepare_set_rows(vectors: np.ndarray, width: int) -> np.ndarray:
 
 def input_kind_of(vectors: np.ndarray, index_kind: ScalarKind) -> ScalarKind:
     """Infer the scalar kind of user-provided numpy vectors."""
-    dt = np.asarray(vectors).dtype
+    return input_kind_of_dtype(np.asarray(vectors).dtype, index_kind)
+
+
+def input_kind_of_dtype(dt, index_kind: ScalarKind) -> ScalarKind:
+    """`input_kind_of` on a dtype alone — usable on device arrays without
+    pulling them to host."""
+    dt = np.dtype(dt) if not hasattr(dt, "name") else dt
     if dt == np.uint8:
         return ScalarKind.B1  # packed bits (b1x8 convention)
     if dt == np.int8:

@@ -44,6 +44,7 @@ from .enums import (
 )
 from .exact import (
     input_kind_of,
+    input_kind_of_dtype,
     pad_queries,
     pad_rows,
     pick_tile_rows,
@@ -77,6 +78,33 @@ def _scatter_rows(table, stats, valid, slots, rows, kind):
     stats = stats.at[slots].set(rstats)
     valid = valid.at[slots].set(True)
     return table, stats, valid
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7), donate_argnums=(0, 1, 2))
+def _cast_scatter_rows(table, stats, valid, slots, x, in_kind, kind, n_pad):
+    """Device-resident ingest: cast rows already in HBM to the storage kind,
+    pad to the slot bucket, and scatter — one program, no host round trip.
+    This is the TPU-native fast path for embeddings produced on-chip."""
+    from .ops.casts import cast_rows_jnp
+    from .ops.distances import row_stats
+
+    rows = cast_rows_jnp(x, in_kind, kind)
+    width = table.shape[1]
+    rows = jnp.pad(rows, ((0, n_pad - rows.shape[0]), (0, width - rows.shape[1])))
+    rstats = row_stats(rows, kind)
+    table = table.at[slots].set(rows)
+    stats = stats.at[slots].set(rstats)
+    valid = valid.at[slots].set(True)
+    return table, stats, valid
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _prepare_queries_dev(x, in_kind, kind, q_pad, width):
+    """Cast + pad device-resident queries to the table layout under jit."""
+    from .ops.casts import cast_rows_jnp
+
+    rows = cast_rows_jnp(x, in_kind, kind)
+    return jnp.pad(rows, ((0, q_pad - rows.shape[0]), (0, width - rows.shape[1])))
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -536,13 +564,19 @@ class Index:
     ) -> Union[int, np.ndarray]:
         if self._viewed:
             raise RuntimeError("Can't add to an immutable viewed index")
-        vectors = np.asarray(vectors)
-        single = vectors.ndim == 1 and not self._is_set_index
-        if self._is_set_index and vectors.ndim == 1:
-            single = True
-            vectors = vectors[None, :]
-        rows = self._prepare_batch(vectors)
-        n = rows.shape[0]
+        dev_rows, dev_kind = self._device_rows(vectors)
+        if dev_rows is not None:
+            single = vectors.ndim == 1
+            rows = None
+            n = dev_rows.shape[0]
+        else:
+            vectors = np.asarray(vectors)
+            single = vectors.ndim == 1 and not self._is_set_index
+            if self._is_set_index and vectors.ndim == 1:
+                single = True
+                vectors = vectors[None, :]
+            rows = self._prepare_batch(vectors)
+            n = rows.shape[0]
 
         if keys is None:
             start = self._keymap.max_key() + 1 if len(self._keymap) else 0
@@ -578,7 +612,10 @@ class Index:
             slots[n_reuse:] = np.arange(self._next_slot, self._next_slot + n_new)
             self._next_slot += n_new
 
-        self._upload_rows(slots, rows, vectors if self._dtype == ScalarKind.F64 else None)
+        if dev_rows is not None:
+            self._upload_rows_device(slots, dev_rows, dev_kind)
+        else:
+            self._upload_rows(slots, rows, vectors if self._dtype == ScalarKind.F64 else None)
         self._slot_keys[slots] = keys_np
         self._keymap.insert_many(keys_np, slots)
         self._count += n
@@ -589,6 +626,44 @@ class Index:
         if single:
             return int(keys_np[0])
         return keys_np
+
+    def _device_rows(self, vectors) -> Tuple[Optional[jax.Array], Optional[ScalarKind]]:
+        """Qualify ``vectors`` for the device-resident fast path: a jax.Array
+        already in HBM whose cast to the storage kind can be traced on device
+        (see `_cast_scatter_rows`). Set/b1/f64 layouts are prepared on host."""
+        if not isinstance(vectors, jax.Array) or isinstance(vectors, np.ndarray):
+            return None, None
+        if self._is_set_index or self._dtype in (ScalarKind.F64, ScalarKind.B1):
+            return None, None
+        try:
+            in_kind = input_kind_of_dtype(vectors.dtype, self._dtype)
+        except ValueError:
+            return None, None
+        if in_kind == ScalarKind.B1:
+            return None, None
+        if vectors.ndim == 1:
+            vectors = vectors[None, :]
+        if vectors.ndim != 2 or vectors.shape[1] != self._ndim:
+            raise ValueError(
+                f"Expected {self._ndim} columns for device-resident input, got {vectors.shape}"
+            )
+        return vectors, in_kind
+
+    def _upload_rows_device(self, slots: np.ndarray, x: jax.Array, in_kind: ScalarKind) -> None:
+        n = len(slots)
+        n_pad = pad_queries(n)
+        slots_pad = np.full(n_pad, self._capacity, dtype=np.int64)  # OOB → dropped
+        slots_pad[:n] = slots
+        self._table, self._stats, self._valid = _cast_scatter_rows(
+            self._table,
+            self._stats,
+            self._valid,
+            jnp.asarray(slots_pad, dtype=jnp.int32),
+            x,
+            in_kind,
+            self._dtype,
+            n_pad,
+        )
 
     def _upload_rows(self, slots: np.ndarray, rows: np.ndarray, f64_rows) -> None:
         if self._dtype == ScalarKind.F64 and not self._is_set_index:
@@ -882,7 +957,9 @@ class Index:
         """k-NN search. Exact scan by default; when the table is large and an
         IVF partition structure is built (see `Index.optimize` / auto-build),
         a partitioned scan bounded by `expansion_search` replaces it."""
-        vectors = np.asarray(vectors)
+        dev_q, dev_kind = self._device_rows(vectors) if self._count else (None, None)
+        if dev_q is None and not isinstance(vectors, np.ndarray):
+            vectors = np.asarray(vectors)
         single = vectors.ndim == 1
         if self._count == 0 or self._table is None:
             if single:
@@ -894,8 +971,11 @@ class Index:
                 counts=np.zeros(nq, np.uint64),
             )
 
-        q_rows = self._prepare_batch(vectors)
-        n_q = q_rows.shape[0]
+        if dev_q is not None:
+            q_rows = (dev_q, dev_kind)
+        else:
+            q_rows = self._prepare_batch(vectors)
+        n_q = vectors.shape[0] if not single else 1
         k = min(int(count), self._count)
 
         valid = self._valid
@@ -966,17 +1046,23 @@ class Index:
         return jnp.asarray(mask_np)
 
     def _search_prepared(
-        self, q_rows: np.ndarray, k: int, valid, use_ivf: bool, approx: bool = False
+        self, q_rows, k: int, valid, use_ivf: bool, approx: bool = False
     ):
-        n_q = q_rows.shape[0]
-        q_pad = pad_queries(n_q)
-        if q_pad > n_q:
-            pad_value = -1 if self._is_set_index else 0
-            q_rows = np.concatenate(
-                [q_rows, np.full((q_pad - n_q, q_rows.shape[1]), pad_value, dtype=q_rows.dtype)]
-            )
-        q = jnp.asarray(q_rows, dtype=self._jax_dtype)
         kind = ScalarKind.F32 if self._is_set_index else self._dtype
+        if isinstance(q_rows, tuple):  # device-resident queries: cast on chip
+            dev_q, dev_kind = q_rows
+            dev_q = dev_q if dev_q.ndim == 2 else dev_q[None, :]
+            q_pad = pad_queries(dev_q.shape[0])
+            q = _prepare_queries_dev(dev_q, dev_kind, self._dtype, q_pad, self._width)
+        else:
+            n_q = q_rows.shape[0]
+            q_pad = pad_queries(n_q)
+            if q_pad > n_q:
+                pad_value = -1 if self._is_set_index else 0
+                q_rows = np.concatenate(
+                    [q_rows, np.full((q_pad - n_q, q_rows.shape[1]), pad_value, dtype=q_rows.dtype)]
+                )
+            q = jnp.asarray(q_rows, dtype=self._jax_dtype)
 
         if use_ivf:
             d, slots = self._ivf.search(self, q, valid, k, self._expansion_search)

@@ -66,6 +66,32 @@ def cast_from_i8_np(values: np.ndarray, out_dtype=np.float32) -> np.ndarray:
     return (values.astype(np.float32) / 127.0).astype(out_dtype)
 
 
+def cast_rows_jnp(x, from_kind: ScalarKind, to_kind: ScalarKind):
+    """Device-side ingestion cast — the same semantics as :func:`cast_vectors`
+    (reference index_plugins.hpp:1105-1292) but traced under jit for rows that
+    are ALREADY resident in HBM (e.g. embeddings produced by a model on the
+    same chip). B1 is unsupported on either side — packed-bit rows take the
+    host path."""
+    import jax.numpy as jnp
+
+    from ..enums import to_jax_dtype
+
+    if ScalarKind.B1 in (from_kind, to_kind):
+        raise ValueError("b1 rows are prepared on host")
+    if from_kind == to_kind:
+        return x.astype(to_jax_dtype(to_kind))
+    if from_kind == ScalarKind.I8:
+        decoded = x.astype(jnp.float32) / 127.0
+    else:
+        decoded = x.astype(jnp.float32)
+    if to_kind == ScalarKind.I8:
+        m = jnp.sqrt(jnp.sum(decoded * decoded, axis=-1, keepdims=True))
+        m = jnp.where(m == 0.0, 1.0, m)
+        s = jnp.clip(decoded * (127.0 / m), -127.0, 127.0)
+        return jnp.trunc(s).astype(jnp.int8)
+    return decoded.astype(to_jax_dtype(to_kind))
+
+
 def cast_vectors(
     values: np.ndarray,
     from_kind: ScalarKind,
