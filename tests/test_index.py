@@ -562,3 +562,38 @@ def test_device_resident_rejects_bad_width():
     ix = Index(ndim=16, metric="ip", dtype="f32")
     with pytest.raises(ValueError):
         ix.add(np.arange(2, dtype=np.uint64), jnp.zeros((2, 8), jnp.float32))
+
+
+def test_pipelined_host_add_matches(monkeypatch):
+    """Chunked/pipelined host ingest (big batches: per-chunk cast overlapping
+    async device_put) must produce the same table and searches as the
+    single-shot path — including the padded tail chunk."""
+    from usearch_tpu import Index
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((1500, 16)).astype(np.float32)
+    keys = np.arange(1500, dtype=np.uint64)
+
+    monkeypatch.setattr(Index, "_PIPELINE_CHUNK", 256)
+    for dtype in ("i8", "f16", "f32"):
+        a = Index(ndim=16, metric="cos", dtype=dtype)
+        assert a._pipeline_kind(vecs) is not None
+        a.add(keys, vecs)
+        b = Index(ndim=16, metric="cos", dtype=dtype)
+        monkeypatch.setattr(Index, "_PIPELINE_CHUNK", 1 << 30)  # force off
+        b.add(keys, vecs)
+        monkeypatch.setattr(Index, "_PIPELINE_CHUNK", 256)
+        np.testing.assert_array_equal(
+            np.asarray(a._table[:1500]), np.asarray(b._table[:1500])
+        )
+        ma, mb = a.search(vecs[:7], 5), b.search(vecs[:7], 5)
+        np.testing.assert_array_equal(ma.keys, mb.keys)
+
+    # b1 packed-bit input through the pipelined path
+    bits = rng.integers(0, 256, (700, 4), dtype=np.uint8)  # 32-bit fingerprints
+    c = Index(ndim=32, metric="hamming", dtype="b1")
+    c.add(np.arange(700, dtype=np.uint64), bits)
+    d = Index(ndim=32, metric="hamming", dtype="b1")
+    monkeypatch.setattr(Index, "_PIPELINE_CHUNK", 1 << 30)
+    d.add(np.arange(700, dtype=np.uint64), bits)
+    np.testing.assert_array_equal(np.asarray(c._table[:700]), np.asarray(d._table[:700]))

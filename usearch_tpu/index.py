@@ -565,6 +565,7 @@ class Index:
         if self._viewed:
             raise RuntimeError("Can't add to an immutable viewed index")
         dev_rows, dev_kind = self._device_rows(vectors)
+        pipelined = None
         if dev_rows is not None:
             single = vectors.ndim == 1
             rows = None
@@ -575,8 +576,15 @@ class Index:
             if self._is_set_index and vectors.ndim == 1:
                 single = True
                 vectors = vectors[None, :]
-            rows = self._prepare_batch(vectors)
-            n = rows.shape[0]
+            if vectors.ndim == 1:
+                vectors = vectors[None, :]
+            pipelined = self._pipeline_kind(vectors)
+            if pipelined is None:
+                rows = self._prepare_batch(vectors)
+                n = rows.shape[0]
+            else:
+                rows = None
+                n = vectors.shape[0]
 
         if keys is None:
             start = self._keymap.max_key() + 1 if len(self._keymap) else 0
@@ -614,6 +622,8 @@ class Index:
 
         if dev_rows is not None:
             self._upload_rows_device(slots, dev_rows, dev_kind)
+        elif pipelined is not None:
+            self._upload_rows_pipelined(slots, vectors, pipelined)
         else:
             self._upload_rows(slots, rows, vectors if self._dtype == ScalarKind.F64 else None)
         self._slot_keys[slots] = keys_np
@@ -648,6 +658,57 @@ class Index:
                 f"Expected {self._ndim} columns for device-resident input, got {vectors.shape}"
             )
         return vectors, in_kind
+
+    #: chunk size of the pipelined host ingest (rows); at 256d i8 one chunk
+    #: is 8 MB on the wire — big enough to amortize per-transfer overhead,
+    #: small enough that several casts overlap in-flight copies.
+    _PIPELINE_CHUNK = 32768
+
+    def _pipeline_kind(self, vectors: np.ndarray) -> Optional[ScalarKind]:
+        """Qualify a big host batch for chunked ingest: cast chunk-by-chunk
+        and hand each to an ASYNC `jax.device_put`, so host casting overlaps
+        the in-flight host→device copies (the role of the reference's
+        executor fan-out of `add_many`, python/lib.cpp:214-259 — there the
+        overlap is across OpenMP threads, here across the DMA engine)."""
+        if self._is_set_index or self._dtype == ScalarKind.F64:
+            return None
+        if vectors.shape[0] < 2 * self._PIPELINE_CHUNK:
+            return None
+        in_kind = input_kind_of(vectors, self._dtype)
+        expected = (self._ndim + 7) // 8 if in_kind == ScalarKind.B1 else self._ndim
+        if vectors.shape[1] != expected:
+            raise ValueError(
+                f"Expected {expected} columns for {in_kind.value} input, got {vectors.shape[1]}"
+            )
+        return in_kind
+
+    def _upload_rows_pipelined(
+        self, slots: np.ndarray, vectors: np.ndarray, in_kind: ScalarKind
+    ) -> None:
+        n = len(slots)
+        ch = self._PIPELINE_CHUNK
+        kind = self._dtype
+        device = self._table.devices().pop() if hasattr(self._table, "devices") else None
+        staged: List[Tuple[Any, Any]] = []
+        for off in range(0, n, ch):
+            m = min(ch, n - off)
+            m_pad = pad_queries(m)
+            rows = prepare_rows(vectors[off : off + m], in_kind, kind, self._ndim)
+            if m_pad > m:
+                rows = np.concatenate(
+                    [rows, np.zeros((m_pad - m, rows.shape[1]), dtype=rows.dtype)]
+                )
+            slots_pad = np.full(m_pad, self._capacity, dtype=np.int32)  # OOB → dropped
+            slots_pad[:m] = slots[off : off + m]
+            # async: returns before the copy completes; the next chunk's cast
+            # runs while this one is on the wire
+            staged.append(
+                (jax.device_put(slots_pad, device), jax.device_put(rows, device))
+            )
+        for slots_dev, rows_dev in staged:
+            self._table, self._stats, self._valid = _scatter_rows(
+                self._table, self._stats, self._valid, slots_dev, rows_dev, kind
+            )
 
     def _upload_rows_device(self, slots: np.ndarray, x: jax.Array, in_kind: ScalarKind) -> None:
         n = len(slots)
