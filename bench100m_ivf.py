@@ -152,20 +152,34 @@ def main():
     if SPILL > 0:
         from usearch_tpu.kmeans import assign_flat
 
-        # point_tile 4096: the [tile, cent_tile] score block is the biggest
-        # temporary next to the 11.9 GiB table + 1.6 GiB top-2 outputs — at
-        # 8192 the sweep sat within ~1 GiB of the HBM ceiling and the worker
-        # crashed at 100M (B100M_TILE to override).
-        a1, d1, a2, d2 = assign_flat(
-            MetricKind.IP, table, jnp.asarray(centroids),
-            int(os.environ.get("B100M_TILE", 4096)), 16384, True,
-        )
+        # SEGMENTED sweep: one whole-table top-2 program stacks 1.6 GiB of
+        # outputs next to the 11.9 GiB table and crashed the worker twice
+        # (even at point_tile 4096). Sweep ~6M-row segments instead, pulling
+        # each segment's (a1,d1,a2,d2) to host before the next starts — the
+        # device holds table + one 0.8 GiB segment copy + 100 MB outputs.
+        tile = int(os.environ.get("B100M_TILE", 4096))
+        n_seg = int(os.environ.get("B100M_NSEG", 16))
+        seg = N // n_seg
+        if seg % tile or N % n_seg:
+            n_seg, seg = 1, N
+        cents_dev = jnp.asarray(centroids)
+        a1_h = np.empty(N, np.int32) if use_flat else None
+        a2_h = np.empty(N, np.int32)
+        margin = np.empty(N, np.float64)
+        for s in range(0, N, seg):
+            part = jax.lax.dynamic_slice_in_dim(table, s, seg, 0)
+            sa1, sd1, sa2, sd2 = assign_flat(
+                MetricKind.IP, part, cents_dev, tile, 16384, True
+            )
+            if use_flat:
+                a1_h[s : s + seg] = np.asarray(sa1)
+            a2_h[s : s + seg] = np.asarray(sa2)
+            margin[s : s + seg] = np.asarray(sd2, np.float64) - np.asarray(sd1, np.float64)
+            del part, sa1, sd1, sa2, sd2
+        del cents_dev
         if use_flat:
-            assigns = np.asarray(a1, dtype=np.int64)
-        del a1
-        a2 = np.asarray(a2)
-        margin = np.asarray(d2, np.float64) - np.asarray(d1, np.float64)
-        del d1, d2
+            assigns = a1_h.astype(np.int64)
+        a2 = a2_h
         spill_n = min(int(SPILL * N), N - 1)  # argpartition needs kth < N
         sel = np.argpartition(margin, spill_n)[:spill_n]
         spill_ids = sel.astype(np.int32)
