@@ -127,3 +127,28 @@ def test_serialized_length_exact(rng):
 
     empty = Index(ndim=16, metric="l2sq", dtype="f32")
     assert empty.serialized_length == len(save_index_to_buffer(empty))
+
+
+def test_inplace_ivf_persists_through_removals(rng):
+    """Saving compacts holes left by `remove`; the persisted cluster-major
+    IVF offsets must be remapped into post-compaction positions or the
+    restored structure probes garbage (regression: recall fell to ~0.4)."""
+    from usearch_tpu import Index
+    from usearch_tpu.persist import save_index_to_buffer
+
+    n, d = 4096, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    ix = Index(ndim=d, metric="ip", dtype="f32")
+    ix.add(np.arange(n, dtype=np.uint64), vecs)
+    ix.optimize(n_partitions=64, reorder=True)
+    ix.remove(np.arange(100, 200, dtype=np.uint64))
+    assert ix._ivf is not None and not ix._ivf_dirty
+    assert ix.serialized_length == len(save_index_to_buffer(ix))
+
+    before = ix.search(vecs[:32], 10)
+    restored = Index.restore(save_index_to_buffer(ix))
+    assert restored._ivf is not None and not restored._ivf_dirty
+    after = restored.search(vecs[:32], 10)
+    np.testing.assert_array_equal(before.keys, after.keys)
+    np.testing.assert_allclose(before.distances, after.distances, atol=1e-5)

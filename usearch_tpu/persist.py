@@ -88,14 +88,25 @@ def _ivf_header_and_payload(index):
     ):
         return None, b""
     cents = np.ascontiguousarray(np.asarray(ivf.centroids), dtype="<f4")
-    starts = np.ascontiguousarray(np.asarray(ivf.starts), dtype="<i4")
-    lens = np.ascontiguousarray(np.asarray(ivf.lens), dtype="<i4")
+    starts = np.asarray(ivf.starts, dtype=np.int64)
+    lens = np.asarray(ivf.lens, dtype=np.int64)
+    # Saving writes LIVE rows only, compacting holes left by removals — the
+    # persisted chunk offsets must be remapped into post-compaction
+    # positions. The dense cluster-major layout keeps live rows in cluster
+    # order, so counting live rows before each boundary is an exact remap.
+    valid_np = np.asarray(index._valid)
+    pre = np.zeros(len(valid_np) + 1, dtype=np.int64)
+    np.cumsum(valid_np, out=pre[1:])
+    new_starts = pre[np.clip(starts, 0, len(valid_np))]
+    new_lens = pre[np.clip(starts + lens, 0, len(valid_np))] - new_starts
+    starts = np.ascontiguousarray(new_starts, dtype="<i4")
+    lens = np.ascontiguousarray(new_lens, dtype="<i4")
     head = {
         "n_chunks": int(starts.shape[0]),
         "p_win": int(ivf.p_win),
         "block": int(ivf.block),
         "avg_rows": float(ivf.avg_rows_per_part),
-        "built_count": int(ivf.built_count),
+        "built_count": int(index._count),  # == live rows == pre[-1]
         "centroid_width": int(cents.shape[1]),
     }
     return head, cents.tobytes() + starts.tobytes() + lens.tobytes()
@@ -140,7 +151,7 @@ def serialized_length(index) -> int:
             "p_win": int(ivf.p_win),
             "block": int(ivf.block),
             "avg_rows": float(ivf.avg_rows_per_part),
-            "built_count": int(ivf.built_count),
+            "built_count": int(index._count),  # must byte-match _ivf_header_and_payload
             "centroid_width": width,
         }
         payload_len = n_chunks * (width * 4 + 4 + 4)  # f32 cents + i32 starts/lens
