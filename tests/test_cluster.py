@@ -353,3 +353,123 @@ def test_staged_topk_matches_exact(rng):
     d_f, i_f = _staged_topk(d2, c2, kk)
     neg2, sel2 = jax.lax.top_k(-d2, kk)
     np.testing.assert_allclose(np.asarray(d_f), np.asarray(-neg2), rtol=1e-6)
+
+
+def test_ivf_incremental_adds_stay_served(rng):
+    """Adds after optimize() go to the fresh overflow list (exact side-scan
+    merged with probed results) instead of invalidating the IVF — the
+    HNSW-parity behavior: an index stays ANN-served through inserts."""
+    pts = _blobs(rng, 64, 16, 16)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    n = len(pts)
+    ix = Index(ndim=16, metric="ip", dtype="f32")
+    ix.add(np.arange(n, dtype=np.uint64), pts)
+    ix.optimize(n_partitions=16)
+    assert not ix._ivf_dirty
+
+    extra = rng.standard_normal((32, 16)).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    ix.add(np.arange(n, n + 32, dtype=np.uint64), extra)
+    assert not ix._ivf_dirty, "adds must not drop the IVF"
+    assert ix._ivf.fresh_np.size == 32
+
+    # fresh rows are findable (exact side-scan: self-query returns self)
+    m = ix.search(extra, 1)
+    np.testing.assert_array_equal(m.keys[:, 0], np.arange(n, n + 32))
+    # old rows still probe correctly
+    m_old = ix.search(pts[:64], 1)
+    np.testing.assert_array_equal(m_old.keys[:, 0], np.arange(64))
+    # no slot appears twice in any result row
+    m10 = ix.search(extra[:8], 10)
+    for row, cnt in zip(m10.keys, m10.counts):
+        live = row[: int(cnt)].tolist()
+        assert len(live) == len(set(live))
+
+
+def test_ivf_recycled_slot_not_served_stale(rng):
+    """remove + re-add recycles the slot: the stale copy in the built layout
+    must be masked (probe mask), the new vector served from the fresh list —
+    exactly once."""
+    pts = _blobs(rng, 64, 8, 16)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    n = len(pts)
+    ix = Index(ndim=16, metric="ip", dtype="f32")
+    ix.add(np.arange(n, dtype=np.uint64), pts)
+    ix.optimize(n_partitions=8)
+
+    victim = pts[7].copy()
+    ix.remove(7)
+    new_vec = rng.standard_normal(16).astype(np.float32)
+    new_vec /= np.linalg.norm(new_vec)
+    k_new = ix.add(999, new_vec)
+    assert k_new == 999 and not ix._ivf_dirty
+
+    # the old vector's exact match must now be gone from IVF results
+    m = ix.search(victim, 5)
+    assert 7 not in m.keys.tolist()
+    # the recycled slot serves the NEW vector, found exactly once
+    m2 = ix.search(new_vec, 5)
+    assert m2.keys[0] == 999
+    assert m2.keys.tolist().count(999) == 1
+
+
+def test_ivf_fresh_persists_dense_layout(rng):
+    """Dense in-place layout: fresh slots survive save/load (remapped through
+    the compaction cumsum) — a restored index keeps serving fresh rows."""
+    pts = _blobs(rng, 64, 8, 16)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    n = len(pts)
+    ix = Index(ndim=16, metric="ip", dtype="f32")
+    ix.add(np.arange(n, dtype=np.uint64), pts)
+    ix.optimize(n_partitions=8, reorder=True)
+    ix.remove(np.arange(10, 20, dtype=np.uint64))  # holes before the fresh adds
+    extra = rng.standard_normal((8, 16)).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    ix.add(np.arange(1000, 1008, dtype=np.uint64), extra)
+    assert not ix._ivf_dirty and ix._ivf.fresh_np.size == 8
+
+    from usearch_tpu.persist import save_index_to_buffer
+
+    buf = save_index_to_buffer(ix)
+    assert ix.serialized_length == len(buf)
+    r = Index.restore(buf)
+    assert r._ivf is not None and not r._ivf_dirty
+    assert r._ivf.fresh_np.size == 8
+    m = r.search(extra, 1)
+    np.testing.assert_array_equal(m.keys[:, 0], np.arange(1000, 1008))
+    before = ix.search(pts[:32], 5)
+    after = r.search(pts[:32], 5)
+    np.testing.assert_array_equal(before.keys, after.keys)
+
+
+def test_ivf_fresh_threshold_rebuild(rng):
+    """Past 25% of built rows the fresh list stops paying for itself — the
+    index falls back to dirty (exact scan) until the next optimize()."""
+    pts = _blobs(rng, 16, 8, 16)
+    n = len(pts)  # 128
+    ix = Index(ndim=16, metric="ip", dtype="f32")
+    ix.add(np.arange(n, dtype=np.uint64), pts.astype(np.float32))
+    ix.optimize(n_partitions=8)
+    big = rng.standard_normal((n, 16)).astype(np.float32)
+    ix.add(np.arange(n, 2 * n, dtype=np.uint64), big)  # 100% > 25%
+    assert ix._ivf_dirty
+
+
+def test_ivf_fresh_with_spill(rng):
+    """Fresh adds compose with SOAR-spilled layouts (dedup then merge)."""
+    pts = _blobs(rng, 64, 8, 16)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    n = len(pts)
+    ix = Index(ndim=16, metric="ip", dtype="f32")
+    ix.add(np.arange(n, dtype=np.uint64), pts)
+    ix.optimize(n_partitions=8, spill=0.2)
+    assert ix._ivf.spilled
+    extra = rng.standard_normal((16, 16)).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    ix.add(np.arange(n, n + 16, dtype=np.uint64), extra)
+    assert not ix._ivf_dirty
+    m = ix.search(extra, 5)
+    np.testing.assert_array_equal(m.keys[:, 0], np.arange(n, n + 16))
+    for row, cnt in zip(m.keys, m.counts):
+        live = row[: int(cnt)].tolist()
+        assert len(live) == len(set(live))

@@ -97,9 +97,12 @@ def test_ivf_structure_survives_save_load_view(rng, tmp_path):
     assert from_buf._ivf is not None and not from_buf._ivf_dirty
     np.testing.assert_array_equal(from_buf.search(X[::100], 5).keys, want.keys)
 
-    # mutation after load invalidates the restored structure
+    # mutation after load joins the fresh overflow list — the restored
+    # structure keeps serving (incremental maintenance, ivf.py:add_fresh)
     loaded.add(99999, X[0] + 10)
-    assert loaded._ivf_dirty
+    assert not loaded._ivf_dirty
+    assert loaded._ivf.fresh_np.size == 1
+    assert loaded.search(X[0] + 10, 1).keys[0] == 99999
 
     # an index WITHOUT reorder saves no ivf section and still loads cleanly
     plain = Index(ndim=16, metric="l2sq", dtype="f32")

@@ -629,7 +629,19 @@ class Index:
         self._slot_keys[slots] = keys_np
         self._keymap.insert_many(keys_np, slots)
         self._count += n
-        self._ivf_dirty = True
+        # Incremental IVF maintenance: new/overwritten rows join a fresh
+        # overflow list served by an exact side-scan (masked out of the
+        # probed layout), so adds stay ANN-served like HNSW's incremental
+        # insert — until the fresh list outgrows 25% of the built rows,
+        # where a rebuild (`optimize`) is the better trade.
+        if (
+            self._ivf is not None
+            and not self._ivf_dirty
+            and (self._ivf.fresh_np.size + n) * 4 <= self._ivf.built_count
+        ):
+            self._ivf.add_fresh(slots)
+        else:
+            self._ivf_dirty = True
 
         if progress is not None:
             progress(n, n)
@@ -852,6 +864,8 @@ class Index:
             # deletions do NOT invalidate the IVF: probe kernels filter by the
             # live `valid` mask (the reference's free_key_ predicate,
             # index_dense.hpp:2072-2084). Only adds/compact move positions.
+            if self._ivf is not None and not self._ivf_dirty:
+                self._ivf.remove_fresh(slots_np)
         if compact and all_slots:
             self.compact()
         if single:

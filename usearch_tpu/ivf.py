@@ -32,12 +32,36 @@ import numpy as np
 
 from .enums import MetricKind, ScalarKind
 from .kmeans import kmeans_fit
-from .ops.distances import MASKED
+from .ops.distances import MASKED, row_stats, tile_dists
+from .ops.topk import masked_topk
 
 _QUERY_CHUNK = 256
 
 
 _DENSE_BLOCK = 256  # rows per gather block in the dense in-place layout
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _fresh_probe_mask(fresh_slots, cap: int):
+    """[cap] bool — False at fresh slots: hides their (missing or stale)
+    entries in the built layout so only the fresh side-scan serves them."""
+    safe = jnp.where(fresh_slots >= 0, fresh_slots, cap)  # OOB pads: dropped
+    return jnp.ones((cap,), jnp.bool_).at[safe].set(False)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 7, 8))
+def _fresh_topk(metric, kind, q, table, stats, valid, fresh_slots, ndim: int, k: int):
+    """Exact top-k of queries against the fresh overflow list, gathered from
+    the LIVE table (never a stale copy). One small [Q, F] tile."""
+    safe = jnp.maximum(fresh_slots, 0)
+    rows = table[safe]
+    rstats = stats[safe]
+    qs = row_stats(q, kind)
+    d = tile_dists(metric, kind, q, qs, rows, rstats, ndim)
+    ok = (fresh_slots >= 0) & valid[safe]
+    d, idx = masked_topk(d, ok, k)
+    slots = jnp.where(idx >= 0, fresh_slots[jnp.clip(idx, 0, None)], -1)
+    return d, slots
 
 
 class IVFPartitions:
@@ -82,6 +106,13 @@ class IVFPartitions:
         self.p_win = p_win                # static probe-window rows (max len)
         self.block = block                # gather-block rows
         self.spilled = False              # SOAR spill: slots may repeat across partitions
+        # Incremental maintenance: slots added/overwritten SINCE the build.
+        # Their rows live in the main table but not (or stale) in the built
+        # layout — they are scanned exactly from a "fresh" overflow list and
+        # masked out of the probed scan (the IVF analog of HNSW's always-
+        # incremental insert, reference index.hpp:2780-2880).
+        self.fresh_np = np.zeros(0, dtype=np.int64)
+        self._fresh_cache = None          # (padded slots dev, probe mask dev)
 
     @staticmethod
     def _quantize(
@@ -310,16 +341,79 @@ class IVFPartitions:
             return self.inplace_shape
         return (int(self.part_slots.shape[0]), int(self.part_slots.shape[1]))
 
+    # ------------------------------------------------------------------
+    # Incremental maintenance (fresh overflow list)
+    # ------------------------------------------------------------------
+
+    def add_fresh(self, slots) -> None:
+        """Record slots whose rows were added/overwritten after the build.
+        They are served by an exact side-scan until the next `optimize`."""
+        new = np.asarray(slots, dtype=np.int64)
+        if self.fresh_np.size:
+            new = new[~np.isin(new, self.fresh_np)]
+        if new.size:
+            self.fresh_np = np.concatenate([self.fresh_np, new])
+            self._fresh_cache = None
+
+    def remove_fresh(self, slots) -> None:
+        """Prune removed slots from the fresh list (the validity mask already
+        hides them; pruning keeps the list and its persisted form minimal)."""
+        if self.fresh_np.size:
+            keep = ~np.isin(self.fresh_np, np.asarray(slots, dtype=np.int64))
+            if not keep.all():
+                self.fresh_np = self.fresh_np[keep]
+                self._fresh_cache = None
+
+    def _fresh_state(self, cap: int):
+        if self._fresh_cache is None:
+            f = self.fresh_np
+            f_pad = max(((len(f) + 1023) // 1024) * 1024, 128)
+            padded = np.full(f_pad, -1, dtype=np.int32)
+            padded[: len(f)] = f
+            fresh_dev = jnp.asarray(padded)
+            self._fresh_cache = (fresh_dev, _fresh_probe_mask(fresh_dev, cap))
+        return self._fresh_cache
+
     def nprobe_for(self, expansion_search: int, connectivity: int = 16) -> int:
         budget = max(expansion_search, 1) * max(connectivity, 1)
         c, _ = self._shape()
         return int(np.clip(math.ceil(budget / self.avg_rows_per_part), 1, c))
 
     def scanned_rows(self, expansion_search: int, connectivity: int = 16) -> int:
-        return int(self.nprobe_for(expansion_search, connectivity) * self._shape()[1])
+        return int(
+            self.nprobe_for(expansion_search, connectivity) * self._shape()[1]
+            + self.fresh_np.size
+        )
 
     def search(self, index, q, valid, k: int, expansion_search: int):
         nprobe = self.nprobe_for(expansion_search, index._connectivity)
+        fresh_n = int(self.fresh_np.size)
+        if fresh_n:
+            fresh_dev, probe_mask = self._fresh_state(int(valid.shape[0]))
+            probe_valid = jnp.logical_and(valid, probe_mask)
+        else:
+            probe_valid = valid
+        d, slots = self._search_built(index, q, probe_valid, k, nprobe)
+        if fresh_n:
+            kf = min(k, int(fresh_dev.shape[0]))
+            df, sf = _fresh_topk(
+                index._metric_kind,
+                index._dtype,
+                q,
+                index._table,
+                index._stats,
+                valid,
+                fresh_dev,
+                index._ndim,
+                kf,
+            )
+            dd = np.concatenate([np.asarray(d), np.asarray(df)], axis=1)
+            ss = np.concatenate([np.asarray(slots), np.asarray(sf)], axis=1)
+            sel = np.argsort(dd, axis=1, kind="stable")[:, :k]
+            return np.take_along_axis(dd, sel, axis=1), np.take_along_axis(ss, sel, axis=1)
+        return d, slots
+
+    def _search_built(self, index, q, valid, k: int, nprobe: int):
         if self.inplace_shape is not None:
             return _ivf_probe_search_dense(
                 index._metric_kind,

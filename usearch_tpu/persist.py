@@ -101,6 +101,9 @@ def _ivf_header_and_payload(index):
     new_lens = pre[np.clip(starts + lens, 0, len(valid_np))] - new_starts
     starts = np.ascontiguousarray(new_starts, dtype="<i4")
     lens = np.ascontiguousarray(new_lens, dtype="<i4")
+    # fresh overflow slots (added since the build; pruned of removals, so all
+    # live) remap through the same cumsum into post-compaction positions
+    fresh = np.ascontiguousarray(pre[np.asarray(ivf.fresh_np, dtype=np.int64)], dtype="<i4")
     head = {
         "n_chunks": int(starts.shape[0]),
         "p_win": int(ivf.p_win),
@@ -108,8 +111,9 @@ def _ivf_header_and_payload(index):
         "avg_rows": float(ivf.avg_rows_per_part),
         "built_count": int(index._count),  # == live rows == pre[-1]
         "centroid_width": int(cents.shape[1]),
+        "n_fresh": int(fresh.shape[0]),
     }
-    return head, cents.tobytes() + starts.tobytes() + lens.tobytes()
+    return head, cents.tobytes() + starts.tobytes() + lens.tobytes() + fresh.tobytes()
 
 
 def _serialize(index) -> tuple:
@@ -153,8 +157,10 @@ def serialized_length(index) -> int:
             "avg_rows": float(ivf.avg_rows_per_part),
             "built_count": int(index._count),  # must byte-match _ivf_header_and_payload
             "centroid_width": width,
+            "n_fresh": int(ivf.fresh_np.size),
         }
-        payload_len = n_chunks * (width * 4 + 4 + 4)  # f32 cents + i32 starts/lens
+        # f32 cents + i32 starts/lens + i32 fresh slots
+        payload_len = n_chunks * (width * 4 + 4 + 4) + int(ivf.fresh_np.size) * 4
     header = json.dumps(header_dict).encode()
     return 20 + len(header) + keys_n * (8 + index._logical_row_bytes()) + payload_len
 
@@ -282,6 +288,7 @@ def _restore_ivf(index, meta: dict, source, rows: np.ndarray) -> None:
     wc = int(info["centroid_width"])
     count = meta["count"]
     # tail begins after: header, keys, rows (on-disk representation)
+    n_fresh = int(info.get("n_fresh", 0))
     if isinstance(source, (bytes, bytearray)):
         raw = bytes(source)
         _, off = _parse_header(raw[:4096])
@@ -289,6 +296,7 @@ def _restore_ivf(index, meta: dict, source, rows: np.ndarray) -> None:
         cents = np.frombuffer(raw, dtype="<f4", count=c * wc, offset=tail)
         starts = np.frombuffer(raw, dtype="<i4", count=c, offset=tail + c * wc * 4)
         lens = np.frombuffer(raw, dtype="<i4", count=c, offset=tail + c * wc * 4 + c * 4)
+        fresh = np.frombuffer(raw, dtype="<i4", count=n_fresh, offset=tail + c * (wc * 4 + 8))
     else:
         path = os.fspath(source)
         with open(path, "rb") as f:
@@ -298,7 +306,8 @@ def _restore_ivf(index, meta: dict, source, rows: np.ndarray) -> None:
         cents = np.fromfile(path, dtype="<f4", count=c * wc, offset=tail)
         starts = np.fromfile(path, dtype="<i4", count=c, offset=tail + c * wc * 4)
         lens = np.fromfile(path, dtype="<i4", count=c, offset=tail + c * wc * 4 + c * 4)
-    if cents.size != c * wc or starts.size != c or lens.size != c:
+        fresh = np.fromfile(path, dtype="<i4", count=n_fresh, offset=tail + c * (wc * 4 + 8))
+    if cents.size != c * wc or starts.size != c or lens.size != c or fresh.size != n_fresh:
         return  # truncated tail: serve without the structure
     index._ivf = IVFPartitions(
         centroids=jnp.asarray(cents.reshape(c, wc)),
@@ -313,6 +322,8 @@ def _restore_ivf(index, meta: dict, source, rows: np.ndarray) -> None:
         p_win=int(info["p_win"]),
         block=int(info["block"]),
     )
+    if n_fresh:
+        index._ivf.fresh_np = fresh.astype(np.int64)
     index._ivf_dirty = False
 
 
