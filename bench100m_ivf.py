@@ -159,15 +159,22 @@ def main():
         # device holds table + one 0.8 GiB segment copy + 100 MB outputs.
         tile = int(os.environ.get("B100M_TILE", 4096))
         n_seg = int(os.environ.get("B100M_NSEG", 16))
-        seg = N // n_seg
-        if seg % tile or N % n_seg:
-            n_seg, seg = 1, N
+        # segment length rounded UP to a tile multiple (assign_flat needs a
+        # tile-aligned length, not an aligned start); a ragged tail is
+        # handled by an overlapping last window of the same length, so no
+        # knob combination ever falls back to a full-table device copy
+        seg = -(-N // n_seg)          # ceil(N / n_seg)
+        seg = min(-(-seg // tile) * tile, N)  # round up to a tile multiple
         cents_dev = jnp.asarray(centroids)
         a1_h = np.empty(N, np.int32) if use_flat else None
         a2_h = np.empty(N, np.int32)
         margin = np.empty(N, np.float64)
-        for s in range(0, N, seg):
-            part = jax.lax.dynamic_slice_in_dim(table, s, seg, 0)
+        for s in list(range(0, N, seg)):
+            if seg == N:
+                part = table  # single segment: the table itself, zero copies
+            else:
+                s = min(s, N - seg)  # overlap: recomputes a few rows, same program
+                part = jax.lax.dynamic_slice_in_dim(table, s, seg, 0)
             sa1, sd1, sa2, sd2 = assign_flat(
                 MetricKind.IP, part, cents_dev, tile, 16384, True
             )

@@ -473,3 +473,23 @@ def test_ivf_fresh_with_spill(rng):
     for row, cnt in zip(m.keys, m.counts):
         live = row[: int(cnt)].tolist()
         assert len(live) == len(set(live))
+
+
+def test_ivf_fresh_survives_reserve_growth(rng):
+    """reserve() grows the validity mask between searches; the cached fresh
+    probe mask must be rebuilt for the new capacity (regression: stale
+    [old_cap] mask vs [new_cap] valid raised a broadcast TypeError)."""
+    pts = _blobs(rng, 64, 8, 16)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    n = len(pts)
+    ix = Index(ndim=16, metric="ip", dtype="f32")
+    ix.add(np.arange(n, dtype=np.uint64), pts)
+    ix.optimize(n_partitions=8)
+    extra = rng.standard_normal((8, 16)).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    ix.add(np.arange(n, n + 8, dtype=np.uint64), extra)
+    m = ix.search(extra, 1)  # builds the fresh cache at the current capacity
+    np.testing.assert_array_equal(m.keys[:, 0], np.arange(n, n + 8))
+    ix.reserve(4 * ix.capacity)
+    m2 = ix.search(extra, 1)  # must not crash; same results
+    np.testing.assert_array_equal(m2.keys[:, 0], np.arange(n, n + 8))

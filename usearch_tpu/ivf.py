@@ -33,7 +33,7 @@ import numpy as np
 from .enums import MetricKind, ScalarKind
 from .kmeans import kmeans_fit
 from .ops.distances import MASKED, row_stats, tile_dists
-from .ops.topk import masked_topk
+from .ops.topk import masked_topk, merge_topk
 
 _QUERY_CHUNK = 256
 
@@ -365,14 +365,16 @@ class IVFPartitions:
                 self._fresh_cache = None
 
     def _fresh_state(self, cap: int):
-        if self._fresh_cache is None:
+        # keyed on cap too: reserve() grows the validity mask between
+        # searches and the probe mask must match its new length
+        if self._fresh_cache is None or self._fresh_cache[0] != cap:
             f = self.fresh_np
-            f_pad = max(((len(f) + 1023) // 1024) * 1024, 128)
+            f_pad = max(((len(f) + 127) // 128) * 128, 128)
             padded = np.full(f_pad, -1, dtype=np.int32)
             padded[: len(f)] = f
             fresh_dev = jnp.asarray(padded)
-            self._fresh_cache = (fresh_dev, _fresh_probe_mask(fresh_dev, cap))
-        return self._fresh_cache
+            self._fresh_cache = (cap, fresh_dev, _fresh_probe_mask(fresh_dev, cap))
+        return self._fresh_cache[1], self._fresh_cache[2]
 
     def nprobe_for(self, expansion_search: int, connectivity: int = 16) -> int:
         budget = max(expansion_search, 1) * max(connectivity, 1)
@@ -407,10 +409,8 @@ class IVFPartitions:
                 index._ndim,
                 kf,
             )
-            dd = np.concatenate([np.asarray(d), np.asarray(df)], axis=1)
-            ss = np.concatenate([np.asarray(slots), np.asarray(sf)], axis=1)
-            sel = np.argsort(dd, axis=1, kind="stable")[:, :k]
-            return np.take_along_axis(dd, sel, axis=1), np.take_along_axis(ss, sel, axis=1)
+            return merge_topk(jnp.asarray(d), jnp.asarray(slots),
+                              df, sf.astype(jnp.int32), k)
         return d, slots
 
     def _search_built(self, index, q, valid, k: int, nprobe: int):

@@ -8,9 +8,9 @@ raw vector matrix in storage dtype. `view` memory-maps the matrix on host
 (zero host copies; the reference's mmap `view`, index.hpp:1723-1853) and
 streams it to device HBM in one transfer.
 
-Format v1 (little-endian):
+Format v2 (little-endian):
     [0:12)   magic  b"usearch_tpu\\0"
-    [12:14)  u16    format version (1)
+    [12:14)  u16    format version
     [14:16)  u16    reserved
     [16:20)  u32    JSON header length H
     [20:20+H) JSON  {metric, dtype, ndim, count, multi, row_bytes, set_index, library_version}
@@ -32,7 +32,10 @@ import os
 import numpy as np
 
 MAGIC = b"usearch_tpu\x00"
-FORMAT_VERSION = 1
+# v1: head + keys + rows [+ ivf cents/starts/lens]; v2 appends the fresh
+# overflow slot list to the ivf payload (readers of v1 files still work:
+# n_fresh defaults to 0 when the key is absent)
+FORMAT_VERSION = 2
 LIBRARY_VERSION = "2.21.0+tpu.0.1"
 
 
@@ -109,7 +112,9 @@ def _ivf_header_and_payload(index):
         "p_win": int(ivf.p_win),
         "block": int(ivf.block),
         "avg_rows": float(ivf.avg_rows_per_part),
-        "built_count": int(index._count),  # == live rows == pre[-1]
+        # live rows genuinely served by the built layout (fresh rows are live
+        # but probe-masked): the base for the 25% fresh rebuild threshold
+        "built_count": int(index._count) - int(fresh.shape[0]),
         "centroid_width": int(cents.shape[1]),
         "n_fresh": int(fresh.shape[0]),
     }
@@ -155,7 +160,7 @@ def serialized_length(index) -> int:
             "p_win": int(ivf.p_win),
             "block": int(ivf.block),
             "avg_rows": float(ivf.avg_rows_per_part),
-            "built_count": int(index._count),  # must byte-match _ivf_header_and_payload
+            "built_count": int(index._count) - int(ivf.fresh_np.size),  # must byte-match _ivf_header_and_payload
             "centroid_width": width,
             "n_fresh": int(ivf.fresh_np.size),
         }
