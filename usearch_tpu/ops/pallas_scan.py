@@ -356,8 +356,8 @@ def pallas_search_dma(
         in_specs=[
             pl.BlockSpec((q_tile, d_width), lambda qi: (qi, 0)),
             pl.BlockSpec((2, q_tile), lambda qi: (0, qi)),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # table stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # t_aux stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # table stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # t_aux stays in HBM
         ],
         out_specs=[
             pl.BlockSpec((q_tile, KPAD), lambda qi: (qi, 0)),
