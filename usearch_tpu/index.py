@@ -623,7 +623,7 @@ class Index:
         if dev_rows is not None:
             self._upload_rows_device(slots, dev_rows, dev_kind)
         elif pipelined is not None:
-            self._upload_rows_pipelined(slots, vectors, pipelined)
+            self._upload_rows_pipelined(slots, vectors, pipelined, progress)
         else:
             self._upload_rows(slots, rows, vectors if self._dtype == ScalarKind.F64 else None)
         self._slot_keys[slots] = keys_np
@@ -695,7 +695,8 @@ class Index:
         return in_kind
 
     def _upload_rows_pipelined(
-        self, slots: np.ndarray, vectors: np.ndarray, in_kind: ScalarKind
+        self, slots: np.ndarray, vectors: np.ndarray, in_kind: ScalarKind,
+        progress: Optional[Callable[[int, int], bool]] = None,
     ) -> None:
         n = len(slots)
         ch = self._PIPELINE_CHUNK
@@ -717,6 +718,13 @@ class Index:
             staged.append(
                 (jax.device_put(slots_pad, device), jax.device_put(rows, device))
             )
+            if progress is not None:
+                # per-chunk reporting (the reference's per-batch callbacks,
+                # rendered as tqdm bars). Return value is advisory only: the
+                # batch's slots are already assigned, so cancellation
+                # mid-upload would orphan table rows — unlike the
+                # reference's per-vector inserts, a batch is atomic here.
+                progress(off + m, n)
         for slots_dev, rows_dev in staged:
             self._table, self._stats, self._valid = _scatter_rows(
                 self._table, self._stats, self._valid, slots_dev, rows_dev, kind
