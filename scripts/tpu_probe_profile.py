@@ -121,11 +121,12 @@ timeit("gather+dot", gather_dot, probes, tblk, starts)
 
 
 def full_core(q, probes, tblk, starts, lens, valid):
+    vblk = valid.reshape(N // BLOCK, BLOCK)
     def one(args):
         qc, prc = args
         qsc = jnp.zeros((CHUNK, 2), jnp.float32)
         d, ids = _dense_probe_core(
-            MetricKind.IP, ScalarKind.I8, qc, qsc, prc, starts, lens, valid,
+            MetricKind.IP, ScalarKind.I8, qc, qsc, prc, starts, lens, vblk,
             tblk, None, N, BLOCK, NBLK, 10,
         )
         return ids[:, 0]

@@ -595,11 +595,15 @@ def _staged_topk(dist, cand, kk: int, m: int = 4):
 
 
 def _dense_probe_core(
-    metric, kind, qc, qsc, prc, starts, lens, valid, tblk, sblk, cap2, block, nblk, k
+    metric, kind, qc, qsc, prc, starts, lens, vblk, tblk, sblk, cap2, block, nblk, k
 ):
     """Score one query chunk against its probed windows in the dense layout.
     Traceable core shared by the single-chip probe and the sharded
-    (shard_map) probe. Returns (dists [chunk, k], local positions [chunk, k])."""
+    (shard_map) probe. ``vblk`` is the validity mask pre-reshaped to
+    [nb, block]: gathered through the SAME bidx block-DMA pattern as the
+    rows — a flat ``valid[cand]`` elementwise gather lowered to a slow
+    scalar gather and cost ~80 ms of a 131 ms probe batch on TPU.
+    Returns (dists [chunk, k], local positions [chunk, k])."""
     chunk, nprobe = prc.shape
     nb = tblk.shape[0]
     r = nblk * block
@@ -620,8 +624,9 @@ def _dense_probe_core(
     st_f = jnp.repeat(st, r, axis=1)
     ln_f = jnp.repeat(ln, r, axis=1)
     in_win = (cand >= st_f) & (cand < st_f + ln_f) & (cand < cap2)
-    safe_cand = jnp.minimum(cand, cap2 - 1)
-    ok = in_win & valid[safe_cand]
+    # clamped duplicate blocks carry misaligned validity rows, but their
+    # cand positions fail in_win, so the mismatch never surfaces
+    ok = in_win & vblk[bidx].reshape(chunk, nprobe * r)
 
     # Batched matvec on RAW storage operands: dot_general widens i8 inside
     # the fused contraction. (An explicit .astype(int32) before an einsum
@@ -711,6 +716,7 @@ def _ivf_probe_search_dense(
     _, probes = jax.lax.top_k(-cdist, nprobe)  # [Q, nprobe]
 
     tblk = table.reshape(nb, block, -1)
+    vblk = valid.reshape(nb, block)  # block-gathered with the rows (see core)
     use_stats = metric in (MetricKind.Cos, MetricKind.L2sq)
     sblk = stats.reshape(nb, block, 2) if use_stats else None
     # blocks covering a window that starts anywhere inside a block
@@ -735,7 +741,7 @@ def _ivf_probe_search_dense(
     def one_chunk(args):
         qc, qsc, prc = args
         return _dense_probe_core(
-            metric, kind, qc, qsc, prc, starts, lens, valid, tblk, sblk,
+            metric, kind, qc, qsc, prc, starts, lens, vblk, tblk, sblk,
             cap2, block, nblk, k,
         )
 

@@ -142,6 +142,7 @@ def sharded_ivf_kernel(
         per_shard = table.shape[0]
         nb = per_shard // block
         tblk = table.reshape(nb, block, -1)
+        vblk = valid.reshape(nb, block)  # block-gathered with the rows
         sblk = stats.reshape(nb, block, 2) if metric != MetricKind.IP else None
 
         qf = q.astype(jnp.float32)
@@ -162,7 +163,7 @@ def sharded_ivf_kernel(
         def one_chunk(args):
             qc, qsc, prc = args
             return _dense_probe_core(
-                metric, kind, qc, qsc, prc, starts, lens, valid, tblk, sblk,
+                metric, kind, qc, qsc, prc, starts, lens, vblk, tblk, sblk,
                 per_shard, block, nblk, k,
             )
 
