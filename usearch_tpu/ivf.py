@@ -112,7 +112,12 @@ class IVFPartitions:
         # masked out of the probed scan (the IVF analog of HNSW's always-
         # incremental insert, reference index.hpp:2780-2880).
         self.fresh_np = np.zeros(0, dtype=np.int64)
-        self._fresh_cache = None          # (padded slots dev, probe mask dev)
+        self._fresh_cache = None          # (cap, padded slots dev, probe mask dev)
+        # copied layout: partition-aligned validity, keyed on the IDENTITY
+        # of the composed validity array (jnp arrays are immutable; keeping
+        # the keyed reference alive makes `is` a sound cache key)
+        self._pv_cache = None             # (valid ref, part_valid dev)
+        self._probe_valid_cache = None    # (valid ref, mask ref, composed)
 
     @staticmethod
     def _quantize(
@@ -392,7 +397,12 @@ class IVFPartitions:
         fresh_n = int(self.fresh_np.size)
         if fresh_n:
             fresh_dev, probe_mask = self._fresh_state(int(valid.shape[0]))
-            probe_valid = jnp.logical_and(valid, probe_mask)
+            c = self._probe_valid_cache
+            if c is None or c[0] is not valid or c[1] is not probe_mask:
+                self._probe_valid_cache = (
+                    valid, probe_mask, jnp.logical_and(valid, probe_mask)
+                )
+            probe_valid = self._probe_valid_cache[2]
         else:
             probe_valid = valid
         d, slots = self._search_built(index, q, probe_valid, k, nprobe)
@@ -433,11 +443,14 @@ class IVFPartitions:
             )
         kk = min(2 * k, int(self.part_slots.shape[0] * self.part_slots.shape[1])) \
             if self.spilled else k
+        pv = self._pv_cache
+        if pv is None or pv[0] is not valid:
+            self._pv_cache = (valid, _part_valid_compute(valid, self.part_slots))
         d, slots = _ivf_probe_search(
             index._metric_kind,
             index._dtype,
             q,
-            valid,
+            self._pv_cache[1],
             self.centroids,
             self.part_table,
             self.part_stats,
@@ -466,12 +479,22 @@ class IVFPartitions:
 
 
 
+@jax.jit
+def _part_valid_compute(valid, part_slots):
+    """Partition-aligned validity [C, P]: pad slots (-1) and deleted rows
+    are False. One flat gather per VALIDITY CHANGE instead of one per query
+    chunk — the per-chunk ``valid[cand]`` elementwise gather lowered to a
+    slow scalar gather (~80 ms per batch at width 10240, TPU microprofile),
+    while ``part_valid[prc]`` rides the same block-DMA as the row gather."""
+    return (part_slots >= 0) & valid[jnp.maximum(part_slots, 0)]
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 8, 9, 10))
 def _ivf_probe_search(
     metric: MetricKind,
     kind: ScalarKind,
     q,                # [Q, D] storage dtype
-    valid,            # [cap] bool (deletions since build)
+    part_valid,       # [C, P] bool (pad ∧ deletion mask, partition-aligned)
     centroids,        # [C, D] f32
     part_table,       # [C, P, D]
     part_stats,       # [C, P, 2]
@@ -524,7 +547,7 @@ def _ivf_probe_search(
         rows = part_table[prc].reshape(chunk, nprobe * p, -1)
         rstats = part_stats[prc].reshape(chunk, nprobe * p, 2)
         cand = part_slots[prc].reshape(chunk, nprobe * p)
-        ok = (cand >= 0) & valid[jnp.maximum(cand, 0)]
+        ok = part_valid[prc].reshape(chunk, nprobe * p)
 
         # raw-operand batched matvec: no widened HBM copy (see _dense_probe_core)
         bdims = (((1,), (2,)), ((0,), (0,)))
