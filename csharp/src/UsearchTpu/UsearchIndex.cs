@@ -7,7 +7,9 @@ namespace UsearchTpu
     public class UsearchIndex : IDisposable
     {
         private IntPtr _handle;
-        private readonly nuint _dimensions;
+        // not readonly: Load/View replace the constructor's configuration
+        // with the file's (the stored width may differ)
+        private nuint _dimensions;
 
         public UsearchIndex(
             MetricKind metric,
@@ -245,11 +247,21 @@ namespace UsearchTpu
         {
             NativeMethods.usearch_load(_handle, path, out var error);
             NativeMethods.Check(error);
+            RefreshConfig();
         }
 
         public void View(string path)
         {
             NativeMethods.usearch_view(_handle, path, out var error);
+            NativeMethods.Check(error);
+            RefreshConfig();
+        }
+
+        /// Re-read engine-side geometry after load/view: the file's
+        /// configuration replaces the constructor's.
+        private void RefreshConfig()
+        {
+            _dimensions = NativeMethods.usearch_dimensions(_handle, out var error);
             NativeMethods.Check(error);
         }
 
@@ -265,6 +277,7 @@ namespace UsearchTpu
         {
             NativeMethods.usearch_load_buffer(_handle, buffer, (nuint)buffer.Length, out var error);
             NativeMethods.Check(error);
+            RefreshConfig();
         }
 
         public static float Distance(float[] a, float[] b, MetricKind metric)

@@ -341,6 +341,9 @@ func (ix *Index) Search(query []float32, limit uint) ([]Key, []float32, error) {
 	if err := ix.checkDims(len(query)); err != nil {
 		return nil, nil, err
 	}
+	if limit == 0 {
+		return nil, nil, nil
+	}
 	keys := make([]Key, limit)
 	dists := make([]float32, limit)
 	var cerr C.usearch_error_t
@@ -358,6 +361,9 @@ func (ix *Index) SearchI8(query []int8, limit uint) ([]Key, []float32, error) {
 	if err := ix.checkDims(len(query)); err != nil {
 		return nil, nil, err
 	}
+	if limit == 0 {
+		return nil, nil, nil
+	}
 	keys := make([]Key, limit)
 	dists := make([]float32, limit)
 	var cerr C.usearch_error_t
@@ -371,17 +377,22 @@ func (ix *Index) SearchI8(query []int8, limit uint) ([]Key, []float32, error) {
 }
 
 // FilteredSearch restricts results to `allowed` keys
-// (reference: c/usearch.h filtered search, :391).
+// (reference: c/usearch.h filtered search, :391). An EMPTY allow-list
+// allows nothing and returns no results; use Search for an unfiltered
+// query.
 func (ix *Index) FilteredSearch(query []float32, limit uint, allowed []Key) ([]Key, []float32, error) {
 	if err := ix.checkDims(len(query)); err != nil {
 		return nil, nil, err
 	}
+	if limit == 0 || len(allowed) == 0 {
+		// an empty allow-list excludes every key: passing NULL to the C
+		// layer would mean "no filter" and silently return unfiltered
+		// results — the opposite of what the caller asked for
+		return nil, nil, nil
+	}
 	keys := make([]Key, limit)
 	dists := make([]float32, limit)
-	var allowedPtr *C.usearch_key_t
-	if len(allowed) > 0 {
-		allowedPtr = (*C.usearch_key_t)(unsafe.Pointer(&allowed[0]))
-	}
+	allowedPtr := (*C.usearch_key_t)(unsafe.Pointer(&allowed[0]))
 	var cerr C.usearch_error_t
 	n := C.usearch_filtered_search(ix.handle, unsafe.Pointer(&query[0]),
 		C.usearch_scalar_f32_k, C.size_t(limit), allowedPtr, C.size_t(len(allowed)),
@@ -395,6 +406,9 @@ func (ix *Index) FilteredSearch(query []float32, limit uint, allowed []Key) ([]K
 
 // Get copies up to `count` vectors stored under `key`, as f32 rows.
 func (ix *Index) Get(key Key, count uint) ([]float32, error) {
+	if count == 0 {
+		return nil, nil
+	}
 	buf := make([]float32, uint(ix.config.Dimensions)*count)
 	var cerr C.usearch_error_t
 	n := C.usearch_get(ix.handle, C.usearch_key_t(key), C.size_t(count),
@@ -438,13 +452,28 @@ func (ix *Index) Save(path string) error {
 	return lastError(cerr)
 }
 
+// refreshConfig re-reads engine-side geometry after load/view: the file's
+// configuration replaces the constructor's (dimensions may differ).
+func (ix *Index) refreshConfig() error {
+	var cerr C.usearch_error_t
+	d := C.usearch_dimensions(ix.handle, &cerr)
+	if err := lastError(cerr); err != nil {
+		return err
+	}
+	ix.config.Dimensions = uint(d)
+	return nil
+}
+
 // Load reads an index previously written by Save.
 func (ix *Index) Load(path string) error {
 	cpath := C.CString(path)
 	defer C.free(unsafe.Pointer(cpath))
 	var cerr C.usearch_error_t
 	C.usearch_load(ix.handle, cpath, &cerr)
-	return lastError(cerr)
+	if err := lastError(cerr); err != nil {
+		return err
+	}
+	return ix.refreshConfig()
 }
 
 // View memory-maps an index file (zero host copies; streamed to device on
@@ -454,7 +483,10 @@ func (ix *Index) View(path string) error {
 	defer C.free(unsafe.Pointer(cpath))
 	var cerr C.usearch_error_t
 	C.usearch_view(ix.handle, cpath, &cerr)
-	return lastError(cerr)
+	if err := lastError(cerr); err != nil {
+		return err
+	}
+	return ix.refreshConfig()
 }
 
 // SaveBuffer serializes into a caller-owned buffer of SerializedLength bytes.
@@ -468,7 +500,10 @@ func (ix *Index) SaveBuffer(buf []byte) error {
 func (ix *Index) LoadBuffer(buf []byte) error {
 	var cerr C.usearch_error_t
 	C.usearch_load_buffer(ix.handle, unsafe.Pointer(&buf[0]), C.size_t(len(buf)), &cerr)
-	return lastError(cerr)
+	if err := lastError(cerr); err != nil {
+		return err
+	}
+	return ix.refreshConfig()
 }
 
 // ViewBuffer restores from an in-memory serialized index (the engine owns
@@ -476,7 +511,10 @@ func (ix *Index) LoadBuffer(buf []byte) error {
 func (ix *Index) ViewBuffer(buf []byte) error {
 	var cerr C.usearch_error_t
 	C.usearch_view_buffer(ix.handle, unsafe.Pointer(&buf[0]), C.size_t(len(buf)), &cerr)
-	return lastError(cerr)
+	if err := lastError(cerr); err != nil {
+		return err
+	}
+	return ix.refreshConfig()
 }
 
 // Metadata sniffs an index file's configuration without loading vectors

@@ -124,8 +124,9 @@ public final class Index implements AutoCloseable {
             FunctionDescriptor.ofVoid(ValueLayout.ADDRESS, SIZE_T, ValueLayout.ADDRESS));
 
     private MemorySegment ptr;
-    private final long dimensions;
-    private final Arena arena = Arena.ofShared();
+    // not final: load/view replace the constructor's configuration with
+    // the file's (the stored width may differ)
+    private long dimensions;
 
     private Index(MemorySegment ptr, long dimensions) {
         this.ptr = ptr;
@@ -381,8 +382,16 @@ public final class Index implements AutoCloseable {
     }
 
     public void save(String path) { pathCall(H_SAVE, path); }
-    public void load(String path) { pathCall(H_LOAD, path); }
-    public void view(String path) { pathCall(H_VIEW, path); }
+
+    public void load(String path) {
+        pathCall(H_LOAD, path);
+        dimensions = callSizeT(H_DIMENSIONS);  // file config replaces ctor's
+    }
+
+    public void view(String path) {
+        pathCall(H_VIEW, path);
+        dimensions = callSizeT(H_DIMENSIONS);
+    }
 
     @Override
     public void close() {
@@ -393,7 +402,6 @@ public final class Index implements AutoCloseable {
                 try { H_FREE.invoke(ptr, err); } catch (Throwable ignored) { }
             }
             ptr = null;
-            arena.close();
         }
     }
 }

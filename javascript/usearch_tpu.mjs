@@ -48,20 +48,25 @@ class NativeCall {
     this.m = m;
     this.errPtr = m._malloc(4);
   }
-  /** Run fn with an error-out slot; throw the C error string if set. */
+  /** Run fn with an error-out slot; throw the C error string if set.
+   *  errPtr stays owned by this NativeCall — the caller's finally block
+   *  frees it exactly once via free(), error or not. */
   run(fn) {
     const m = this.m;
     m.HEAPU32[this.errPtr >> 2] = 0;
     const out = fn(this.errPtr);
     const err = m.HEAPU32[this.errPtr >> 2];
     if (err !== 0) {
-      const msg = m.UTF8ToString(err);
-      m._free(this.errPtr);
-      throw new Error(`usearch_tpu: ${msg}`);
+      throw new Error(`usearch_tpu: ${m.UTF8ToString(err)}`);
     }
     return out;
   }
-  free() { this.m._free(this.errPtr); }
+  free() {
+    if (this.errPtr) {
+      this.m._free(this.errPtr);
+      this.errPtr = 0;
+    }
+  }
 }
 
 function withScratch(m, bytes, fn) {
@@ -246,6 +251,8 @@ export class Index {
         m.HEAPU8.set(bytes, p);
         call.run((e) => m._usearch_load_buffer(this.ptr, p, bytes.length, e));
       });
+      // the file's configuration replaces the constructor's
+      this.dimensions = call.run((e) => m._usearch_dimensions(this.ptr, e));
     } finally {
       call.free();
     }

@@ -138,10 +138,12 @@ pub struct IndexOptions {
 
 /// One dense usearch_tpu index. `Send` but not `Sync`: external
 /// synchronization is required for concurrent use (the C layer serializes
-/// on the embedded interpreter anyway).
+/// on the embedded interpreter anyway). `dimensions` is interior-mutable
+/// because load/view replace the constructor's configuration with the
+/// file's (the stored width may differ).
 pub struct Index {
     handle: *mut c_void,
-    dimensions: usize,
+    dimensions: std::cell::Cell<usize>,
 }
 
 unsafe impl Send for Index {}
@@ -161,7 +163,7 @@ impl Index {
         let mut err: ErrorPtr = ptr::null();
         let handle = unsafe { usearch_init(&mut raw, &mut err) };
         check(err)?;
-        Ok(Index { handle, dimensions: options.dimensions })
+        Ok(Index { handle, dimensions: std::cell::Cell::new(options.dimensions) })
     }
 
     pub fn version() -> String {
@@ -216,9 +218,9 @@ impl Index {
     }
 
     fn check_dims(&self, n: usize) -> Result<()> {
-        if n != self.dimensions {
+        if n != self.dimensions.get() {
             return Err(Error(format!(
-                "vector has {} dimensions, index expects {}", n, self.dimensions)));
+                "vector has {} dimensions, index expects {}", n, self.dimensions.get())));
         }
         Ok(())
     }
@@ -256,10 +258,15 @@ impl Index {
         Ok((keys, dists))
     }
 
+    /// An EMPTY allow-list allows nothing and returns no results; use
+    /// `search` for an unfiltered query.
     pub fn filtered_search(
         &self, query: &[f32], count: usize, allowed: &[Key],
     ) -> Result<(Vec<Key>, Vec<Distance>)> {
         self.check_dims(query.len())?;
+        if count == 0 || allowed.is_empty() {
+            return Ok((Vec::new(), Vec::new()));
+        }
         let mut keys = vec![0 as Key; count];
         let mut dists = vec![0.0 as Distance; count];
         let mut err: ErrorPtr = ptr::null();
@@ -275,7 +282,7 @@ impl Index {
     }
 
     pub fn get(&self, key: Key) -> Result<Option<Vec<f32>>> {
-        let mut out = vec![0.0f32; self.dimensions];
+        let mut out = vec![0.0f32; self.dimensions.get()];
         let mut err: ErrorPtr = ptr::null();
         let n = unsafe {
             usearch_get(self.handle, key, 1, out.as_mut_ptr().cast(),
@@ -328,9 +335,24 @@ impl Index {
         check(err)
     }
 
+    /// Re-read engine-side geometry after load/view: the file's
+    /// configuration replaces the constructor's.
+    fn refresh_config(&self) -> Result<()> {
+        self.dimensions.set(self.size_t_call(usearch_dimensions)?);
+        Ok(())
+    }
+
     pub fn save(&self, path: &str) -> Result<()> { self.path_call(usearch_save, path) }
-    pub fn load(&self, path: &str) -> Result<()> { self.path_call(usearch_load, path) }
-    pub fn view(&self, path: &str) -> Result<()> { self.path_call(usearch_view, path) }
+
+    pub fn load(&self, path: &str) -> Result<()> {
+        self.path_call(usearch_load, path)?;
+        self.refresh_config()
+    }
+
+    pub fn view(&self, path: &str) -> Result<()> {
+        self.path_call(usearch_view, path)?;
+        self.refresh_config()
+    }
 
     pub fn save_buffer(&self) -> Result<Vec<u8>> {
         let mut buf = vec![0u8; self.serialized_length()?];
@@ -343,7 +365,8 @@ impl Index {
     pub fn load_buffer(&self, buf: &[u8]) -> Result<()> {
         let mut err: ErrorPtr = ptr::null();
         unsafe { usearch_load_buffer(self.handle, buf.as_ptr().cast(), buf.len(), &mut err) };
-        check(err)
+        check(err)?;
+        self.refresh_config()
     }
 }
 

@@ -37,7 +37,9 @@ private func check(_ error: usearch_error_t?) throws {
 /// One dense usearch_tpu index.
 public final class USearchIndex {
     private var handle: usearch_index_t?
-    public let dimensions: Int
+    /// load/view replace the constructor's configuration with the file's
+    /// (the stored width may differ), so this refreshes after both.
+    public private(set) var dimensions: Int
 
     public init(
         metric: USearchMetric = .cos,
@@ -222,11 +224,20 @@ public final class USearchIndex {
         var error: usearch_error_t?
         usearch_load(handle, path, &error)
         try check(error)
+        try refreshConfig()
     }
 
     public func view(path: String) throws {
         var error: usearch_error_t?
         usearch_view(handle, path, &error)
         try check(error)
+        try refreshConfig()
+    }
+
+    private func refreshConfig() throws {
+        var error: usearch_error_t?
+        let d = usearch_dimensions(handle, &error)
+        try check(error)
+        dimensions = d
     }
 }

@@ -643,8 +643,8 @@ class Index:
         else:
             self._ivf_dirty = True
 
-        if progress is not None:
-            progress(n, n)
+        if progress is not None and pipelined is None:
+            progress(n, n)  # pipelined path already reported its last chunk
         if single:
             return int(keys_np[0])
         return keys_np
