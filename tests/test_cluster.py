@@ -493,3 +493,25 @@ def test_ivf_fresh_survives_reserve_growth(rng):
     ix.reserve(4 * ix.capacity)
     m2 = ix.search(extra, 1)  # must not crash; same results
     np.testing.assert_array_equal(m2.keys[:, 0], np.arange(n, n + 8))
+
+
+def test_ivf_refuses_unsupported_metric(rng):
+    """The probe kernels implement the matmul metrics (ip/cos/l2sq) only —
+    optimize() must refuse others instead of silently serving the L2sq
+    epilogue over e.g. packed hamming bytes; exact search still works."""
+    ix = Index(ndim=64, metric="hamming", dtype="b1")
+    bits = np.packbits(rng.random((64, 64)) > 0.5, axis=1)
+    ix.add(np.arange(64, dtype=np.uint64), bits)
+    with pytest.raises(ValueError, match="ip/cos/l2sq"):
+        ix.optimize(n_partitions=8)
+    m = ix.search(bits[:4], 1)
+    np.testing.assert_array_equal(m.keys[:, 0], np.arange(4))
+    # metric change AFTER a build must also drop the probe path
+    ix2 = Index(ndim=16, metric="ip", dtype="f32")
+    pts = rng.random((256, 16)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    ix2.add(np.arange(256, dtype=np.uint64), pts)
+    ix2.optimize(n_partitions=8)
+    ix2.metric = "pearson"
+    m2 = ix2.search(pts[:4], 1)  # exact scan serves; no wrong-metric probe
+    np.testing.assert_array_equal(m2.keys[:, 0], np.arange(4))

@@ -238,8 +238,8 @@ def exact_search(
     """
     metric = normalize_metric(metric)
     dataset = np.atleast_2d(dataset)
-    queries = np.atleast_2d(queries)
-    single = queries.ndim == 1
+    queries = np.atleast_2d(queries)  # always BatchMatches out; the free
+    # search() wrapper unwraps 1-D queries to Matches (reference convention)
     n_rows, _ = dataset.shape
     n_q = queries.shape[0]
     count = min(count, n_rows)

@@ -638,6 +638,10 @@ class Index:
             self._ivf is not None
             and not self._ivf_dirty
             and (self._ivf.fresh_np.size + n) * 4 <= self._ivf.built_count
+            # absolute cap: the side-scan is one [Q, F] tile + an [F, D] row
+            # gather per search — past this it would OOM before the 25%
+            # ratio trips at 100M scale; beyond it, exact scan serves
+            and self._ivf.fresh_np.size + n <= self._FRESH_MAX
         ):
             self._ivf.add_fresh(slots)
         else:
@@ -675,6 +679,9 @@ class Index:
     #: is 8 MB on the wire — big enough to amortize per-transfer overhead,
     #: small enough that several casts overlap in-flight copies.
     _PIPELINE_CHUNK = 32768
+    # fresh-list ceiling: bounds the incremental side-scan's [Q, F] tile
+    # (~512 MB f32 at Q=1024) and its [F, D] row gather
+    _FRESH_MAX = 131072
 
     def _pipeline_kind(self, vectors: np.ndarray) -> Optional[ScalarKind]:
         """Qualify a big host batch for chunked ingest: cast chunk-by-chunk
@@ -1069,6 +1076,10 @@ class Index:
             not exact
             and not self._is_set_index
             and self._metric_fn is None
+            # probe kernels implement the matmul metrics only; optimize()
+            # refuses others, this guard covers metric changes after build
+            and self._metric_kind in (MetricKind.IP, MetricKind.Cos, MetricKind.L2sq)
+            and self._dtype != ScalarKind.B1
             and self._ivf is not None
             and not self._ivf_dirty
         )
@@ -1229,6 +1240,16 @@ class Index:
 
         if self._count == 0:
             return
+        if self._metric_kind not in (MetricKind.IP, MetricKind.Cos, MetricKind.L2sq):
+            raise ValueError(
+                f"IVF probing supports ip/cos/l2sq (got {self._metric_kind.value}): "
+                "the probe kernels' distance epilogue covers the matmul metrics; "
+                "binary/statistical metrics serve through the exact scan"
+            )
+        if self._is_set_index or self._dtype == ScalarKind.B1 or self._metric_fn is not None:
+            raise ValueError(
+                "IVF probing supports dense numeric tables with built-in metrics"
+            )
         if reorder:
             if spill > 0:
                 raise ValueError(

@@ -151,6 +151,7 @@ class IVFPartitions:
             if index._metric_kind in (MetricKind.Cos, MetricKind.IP, MetricKind.L2sq)
             else MetricKind.L2sq
         )
+        skipped_flat = False
         if n_partitions > 4096:
             # flat Lloyd's is ∝ N·k·D per iteration — infeasible at the
             # 100M-row / 30k-partition scale; two-level fit is ~√k cheaper.
@@ -160,9 +161,10 @@ class IVFPartitions:
             # and the HBM peak).
             from .kmeans import kmeans_hierarchical
 
+            skipped_flat = spill > 0
             assigns, _, centroids = kmeans_hierarchical(
                 rows, n_partitions, metric=km_metric, max_iterations=25, seed=0,
-                return_dists=False, flat_assign=spill <= 0,
+                return_dists=False, flat_assign=not skipped_flat,
             )
         else:
             assigns, _, centroids = kmeans_fit(
@@ -189,9 +191,11 @@ class IVFPartitions:
             a1, d1, a2, d2 = assign_flat(
                 km_metric, rows_p, jnp.asarray(centroids), pt, ct, True
             )
-            if c > 4096:
+            if skipped_flat:
                 # the hierarchical fit skipped its flat pass — a1 IS the
-                # Voronoi assignment
+                # Voronoi assignment (keyed on the skip itself, not on the
+                # actual centroid count, which can fall below 4096 when the
+                # fit collapses empty coarse cells)
                 assigns = np.asarray(a1[:n], dtype=np.int64)
             a2 = np.asarray(a2[:n])
             margin = np.asarray(d2[:n], np.float64) - np.asarray(d1[:n], np.float64)
@@ -513,15 +517,11 @@ def _ivf_probe_search(
     q_stats = row_stats(q, kind)
     qf = q.astype(jnp.float32)
 
-    dots = jax.lax.dot_general(
-        qf, centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    # empty partitions (all entries invalid/pad) rank last so probe slots
+    # are never spent gathering fully-masked blocks
+    cdist = _score_centroids(
+        metric, qf, centroids, jnp.sum(part_valid, axis=1, dtype=jnp.int32)
     )
-    if metric == MetricKind.L2sq:
-        c_sq = jnp.sum(centroids * centroids, axis=1)
-        q_sq0 = jnp.sum(qf * qf, axis=1, keepdims=True)
-        cdist = q_sq0 + c_sq[None, :] - 2.0 * dots
-    else:
-        cdist = -dots
     _, probes = jax.lax.top_k(-cdist, nprobe)  # [Q, nprobe]
 
     # chunk size bounded so the gathered [chunk, nprobe*P, D] tensor stays
@@ -735,7 +735,7 @@ def _ivf_probe_search_dense(
     q_stats = row_stats(q, kind)
     qf = q.astype(jnp.float32)
 
-    cdist = _score_centroids(metric, qf, centroids)
+    cdist = _score_centroids(metric, qf, centroids, lens)  # empties rank last
     _, probes = jax.lax.top_k(-cdist, nprobe)  # [Q, nprobe]
 
     tblk = table.reshape(nb, block, -1)

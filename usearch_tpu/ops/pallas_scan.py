@@ -491,7 +491,9 @@ def _rescore_exact(metric, q, q_aux, table, stats, valid, ids):
     """
     rows = table[ids].astype(jnp.float32)  # [Q, k, W]
     qf = q.astype(jnp.float32)  # [Q, W]
-    dots = jnp.einsum("qkw,qw->qk", rows, qf)
+    # HIGHEST: the contract is full-precision rescoring — default matmul
+    # precision truncates f32 operands to bf16 passes (distances._dot rule)
+    dots = jnp.einsum("qkw,qw->qk", rows, qf, precision=jax.lax.Precision.HIGHEST)
     t_sq = stats[ids, 0]  # [Q, k]
     q_sq = q_aux[0, :][:, None]  # [Q, 1]
     if metric == MetricKind.IP:
