@@ -725,6 +725,14 @@ class Index:
             staged.append(
                 (jax.device_put(slots_pad, device), jax.device_put(rows, device))
             )
+            # scatter the PREVIOUS chunk now (dispatch is async, so the
+            # cast/copy overlap is preserved) — staging everything first
+            # would hold the whole batch in HBM beside the table
+            if len(staged) > 1:
+                slots_dev, rows_dev = staged.pop(0)
+                self._table, self._stats, self._valid = _scatter_rows(
+                    self._table, self._stats, self._valid, slots_dev, rows_dev, kind
+                )
             if progress is not None:
                 # per-chunk reporting (the reference's per-batch callbacks,
                 # rendered as tqdm bars). Return value is advisory only: the

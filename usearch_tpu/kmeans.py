@@ -210,10 +210,23 @@ def _kmeanspp_init(points, key, k: int):
     """k-means++ seeding as ONE jitted scan: each step scores all points
     against the latest center (a [N, D] matvec on the VPU/MXU) and samples the
     next center ∝ min-squared-distance via the Gumbel-max trick. Improves on
-    the reference's random-point init (index_plugins.hpp:2324-2350)."""
-    n = points.shape[0]
-    pf = points.astype(jnp.float32)
-    sq = jnp.sum(pf * pf, axis=1)
+    the reference's random-point init (index_plugins.hpp:2324-2350).
+
+    The matvec casts per row-tile (lax.map over blocks): a whole-table
+    `.astype(f32)` would materialize a second full-size copy — 16 GB beside
+    a 4 GB i8 table at 16M×256 — and the cast would be hoisted out of the
+    scan as loop-invariant even if written inline."""
+    n, d = points.shape
+    budget_rows = max(8, (128 * 1024 * 1024) // max(d * 4, 1))
+    tile = min(1 << (budget_rows.bit_length() - 1), n)  # pow2 ≤ budget
+    while n % tile:  # callers pass pow2-padded n, so this rarely iterates
+        tile //= 2
+    p3 = points.reshape(n // tile, tile, d)  # storage dtype, no copy
+
+    def block_f32(fn):
+        return jax.lax.map(fn, p3).reshape(n)
+
+    sq = block_f32(lambda b: jnp.sum(b.astype(jnp.float32) ** 2, axis=1))
 
     key, sub = jax.random.split(key)
     first = jax.random.randint(sub, (), 0, n)
@@ -221,9 +234,10 @@ def _kmeanspp_init(points, key, k: int):
 
     def step(carry, sub_key):
         min_d, last_idx = carry
-        c = pf[last_idx]
-        d = jnp.maximum(sq + jnp.sum(c * c) - 2.0 * (pf @ c), 0.0)
-        min_d = jnp.minimum(min_d, d)
+        c = points[last_idx].astype(jnp.float32)
+        dot = block_f32(lambda b: b.astype(jnp.float32) @ c)
+        dist = jnp.maximum(sq + jnp.sum(c * c) - 2.0 * dot, 0.0)
+        min_d = jnp.minimum(min_d, dist)
         # sample ∝ min_d: argmax(log(min_d) + Gumbel)
         g = -jnp.log(-jnp.log(jax.random.uniform(sub_key, (n,), minval=1e-12, maxval=1.0)))
         scores = jnp.where(min_d > 0, jnp.log(jnp.maximum(min_d, 1e-30)) + g, -jnp.inf)
@@ -233,7 +247,7 @@ def _kmeanspp_init(points, key, k: int):
     subs = jax.random.split(key, k - 1) if k > 1 else jnp.zeros((0, 2), jnp.uint32)
     (_, last), chosen = jax.lax.scan(step, (init_min_d, first), subs)
     idxs = jnp.concatenate([chosen, last[None]]) if k > 1 else first[None]
-    return pf[idxs]
+    return points[idxs].astype(jnp.float32)
 
 
 _KMEANSPP_MAX_K = 4096
@@ -308,6 +322,10 @@ def kmeans_fit(
     n, d = points_dev.shape
     if n_valid is not None:
         n = int(n_valid)
+    if n == 0:
+        raise ValueError("kmeans needs at least one point")
+    if k <= 0:
+        raise ValueError(f"kmeans needs k >= 1 (got {k})")
     k = int(min(k, n))
     rng = np.random.default_rng(seed)
 
@@ -551,7 +569,12 @@ def kmeans(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Free-function clustering API mirroring `usearch.index.kmeans`
     (reference: python/usearch/index.py:1618-1710 → python/lib.cpp:1072).
-    Returns (assignments, distances, centroids)."""
+    Returns (assignments, distances, centroids).
+
+    ``dtype`` is the reference API's scoring-quantization knob; this engine
+    always scores in bf16 on the MXU with f32 accumulation (the reference's
+    own default recipe), so values other than bf16 are accepted for
+    compatibility but do not change the arithmetic."""
     m = normalize_metric(metric)
     return kmeans_fit(
         np.asarray(X, dtype=np.float32),

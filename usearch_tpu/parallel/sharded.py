@@ -410,9 +410,21 @@ class ShardedIndex:
         meta0 = None
         for p in paths:
             meta, keys, rows = _load_arrays(p, view=True)
+            if meta.get("set_index"):
+                raise ValueError(
+                    "set indexes (sparse jaccard) can't be mounted into a "
+                    "ShardedIndex: their int32 set rows would be re-quantized "
+                    "as numeric vectors"
+                )
             meta0 = meta0 or meta
-            if meta["ndim"] != meta0["ndim"] or meta["metric"] != meta0["metric"]:
-                raise ValueError("All mounted shards must share ndim/metric")
+            if (
+                meta["ndim"] != meta0["ndim"]
+                or meta["metric"] != meta0["metric"]
+                or meta["dtype"] != meta0["dtype"]
+            ):
+                # mixed dtypes would np.concatenate-promote already-quantized
+                # rows (e.g. i8 ±127) into floats and re-quantize them
+                raise ValueError("All mounted shards must share ndim/metric/dtype")
             all_rows.append(np.asarray(rows))
             all_keys.append(keys)
         rows = np.concatenate(all_rows)
@@ -467,7 +479,6 @@ class ShardedIndex:
                     rows_live, c_want, metric=self.metric, max_iterations=25, seed=0
                 )
             c = cents.shape[0]
-            counts = np.bincount(assigns, minlength=c)
             avg = max(int(np.ceil(n_live / max(c, 1))), 1)
             p_cap = ((int(1.5 * avg) + 7) // 8) * 8
             order = np.argsort(assigns, kind="stable")
@@ -526,7 +537,11 @@ class ShardedIndex:
             "p_win": int(p_win),
             "block": block,
             "c_max": int(c_max),
-            "avg_rows": float(max(self._count / max(n_shards * c_max, 1), 1.0)),
+            # denominator = REAL chunks (c_max padding chunks have len 0);
+            # counting padding deflates avg_rows and inflates nprobe
+            "avg_rows": float(
+                max(self._count / max(sum(len(l[1]) for l in shard_layouts), 1), 1.0)
+            ),
         }
 
     def nprobe_for(self, expansion_search: int = 64, connectivity: int = 16) -> int:
@@ -555,10 +570,8 @@ class ShardedIndex:
         expansion_search: int = 64,
         **kwargs,
     ) -> BatchMatches:
-        vectors = np.atleast_2d(np.asarray(vectors))
-        single = np.asarray(vectors).ndim == 1
+        vectors = np.atleast_2d(np.asarray(vectors))  # always BatchMatches
         n_q = vectors.shape[0]
-        k = min(count, max(self._count, 1))
 
         in_kind = input_kind_of(vectors, None)
         q_rows = prepare_rows(vectors, in_kind, self.kind, self.ndim)
@@ -572,6 +585,9 @@ class ShardedIndex:
 
         n_shards = self.mesh.shape[SHARD_AXIS]
         shard_rows = self._table.shape[0] // n_shards
+        # the per-shard top-k runs over shard_rows candidates, so k must be
+        # capped per shard (lax.top_k raises when k > axis size)
+        k = min(count, max(self._count, 1), shard_rows)
 
         if self._ivf is not None and not exact:
             d, i = sharded_ivf_kernel(

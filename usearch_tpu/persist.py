@@ -298,6 +298,10 @@ def _restore_ivf(index, meta: dict, source, rows: np.ndarray) -> None:
         raw = bytes(source)
         _, off = _parse_header(raw[:4096])
         tail = off + count * 8 + rows.nbytes
+        # np.frombuffer raises on short buffers (unlike np.fromfile), so the
+        # size re-check below only covers the file branch — guard here
+        if len(raw) < tail + c * (wc * 4 + 8) + n_fresh * 4:
+            return  # truncated tail: serve without the structure
         cents = np.frombuffer(raw, dtype="<f4", count=c * wc, offset=tail)
         starts = np.frombuffer(raw, dtype="<i4", count=c, offset=tail + c * wc * 4)
         lens = np.frombuffer(raw, dtype="<i4", count=c, offset=tail + c * wc * 4 + c * 4)
@@ -337,14 +341,7 @@ def _populate(index, meta: dict, keys: np.ndarray, rows: np.ndarray) -> None:
 
     Mirrors the reference's load, which resets config from the file head and
     rebuilds the key lookup (`reindex_keys_`, index_dense.hpp:2158-2188)."""
-    from .enums import normalize_dtype, normalize_metric
-
     index.reset()
-    index._metric_kind = normalize_metric(meta["metric"])
-    index._dtype = normalize_dtype(meta["dtype"])
-    index._ndim = meta["ndim"]
-    index._multi = bool(meta.get("multi", False))
-    index._is_set_index = bool(meta.get("set_index", False))
     index.__init__(
         ndim=meta["ndim"],
         metric=meta["metric"],
