@@ -42,8 +42,20 @@ def cluster_index(
     # round trip (the table may be many GB behind a slow link)
     import jax.numpy as jnp
 
+    from .enums import ScalarKind
+
+    if index._is_set_index:
+        raise ValueError(
+            "cluster() is undefined for set indexes (rows are id lists, "
+            "not points in a vector space)"
+        )
     live = index._live_slots()
-    member_rows_dev = index._table[jnp.asarray(live)].astype(jnp.float32)
+    if index._dtype == ScalarKind.B1:
+        # packed bytes are not coordinates: unpack bits to 0/1 floats so
+        # L2 clustering approximates Hamming grouping
+        member_rows_dev = jnp.asarray(index._fetch_slots(live, ScalarKind.F32))
+    else:
+        member_rows_dev = index._table[jnp.asarray(live)].astype(jnp.float32)
     member_rows = None  # host copy only materialized if needed below
 
     lo = int(min_count) if min_count else 2
@@ -58,18 +70,26 @@ def cluster_index(
 
     # Each centroid is labeled by its nearest member's key (the reference's
     # clusters are real nodes at an upper level, index_dense.hpp:1830-1860).
-    centroid_keys = np.empty(centroids.shape[0], dtype=np.uint64)
-    for ci in range(centroids.shape[0]):
-        members = np.nonzero(assigns == ci)[0]
-        if len(members) == 0:
-            if member_rows is None:
-                member_rows = np.asarray(member_rows_dev)
-            diffs = member_rows - centroids[ci][None, :]
-            nearest = int(np.argmin(np.sum(diffs * diffs, axis=1)))
-            centroid_keys[ci] = member_keys[nearest]
-        else:
-            local = np.argmin(dists[members])
-            centroid_keys[ci] = member_keys[members[local]]
+    # Vectorized: sort members by distance once; the first occurrence of
+    # each cluster id in that order is its closest member (a per-centroid
+    # nonzero scan was O(N·k)).
+    kc = centroids.shape[0]
+    centroid_keys = np.empty(kc, dtype=np.uint64)
+    order = np.argsort(dists, kind="stable")
+    uniq, first_pos = np.unique(assigns[order], return_index=True)
+    centroid_keys[uniq] = member_keys[order[first_pos]]
+    empty = np.setdiff1d(np.arange(kc), uniq, assume_unique=True)
+    if empty.size:
+        # empty clusters: nearest member by centroid distance, one matmul
+        if member_rows is None:
+            member_rows = np.asarray(member_rows_dev)
+        ce = centroids[empty]
+        d2 = (
+            np.sum(member_rows**2, axis=1)[:, None]
+            + np.sum(ce**2, axis=1)[None, :]
+            - 2.0 * member_rows @ ce.T
+        )
+        centroid_keys[empty] = member_keys[np.argmin(d2, axis=0)]
 
     # Queries: explicit vectors, an explicit subset of keys, or all members.
     if vectors is not None:

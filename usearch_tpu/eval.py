@@ -80,7 +80,9 @@ def self_recall(index, sample: Union[float, int] = 1.0, **kwargs) -> SearchStats
         keys = kwargs.pop("keys")
     else:
         keys = np.array(index.keys)
-    if sample != 1.0:
+    # ints are absolute counts (so sample=1 means ONE key); only the float
+    # 1.0 means "all" (reference eval.py semantics)
+    if not (isinstance(sample, float) and sample == 1.0):
         if isinstance(sample, float):
             sample = int(ceil(len(keys) * sample))
         keys = np.random.choice(keys, sample)
@@ -140,7 +142,10 @@ def recall_at_k(matches: BatchMatches, neighbors: np.ndarray, k: int) -> float:
     total = 0
     for i in range(len(matches)):
         truth = set(int(x) for x in neighbors[i, :k])
-        got = set(int(x) for x in matches.keys[i, :k])
+        # honor counts: slots past counts[i] hold the 0 sentinel, which
+        # would spuriously match a true neighbor with key 0
+        kk = min(k, int(matches.counts[i]))
+        got = set(int(x) for x in matches.keys[i, :kk])
         found += len(truth & got)
         total += len(truth)
     return found / max(total, 1)
@@ -154,7 +159,7 @@ class Dataset:
     neighbors: np.ndarray
 
     def crop_neighbors(self, k: int):
-        self.neighbors = self.neighbors[:, k]
+        self.neighbors = self.neighbors[:, :k]
 
     @property
     def ndim(self):

@@ -86,7 +86,10 @@ class Indexes:
             cat_d = np.concatenate([best_d, d], axis=1)
             cat_k = np.concatenate([best_k, m.keys.astype(np.uint64)], axis=1)
             cat_v = np.concatenate([best_valid, v], axis=1)
-            order = np.argsort(cat_d, axis=1, kind="stable")[:, :count]
+            # invalid placeholders last even against valid inf/NaN
+            # distances (a plain stable sort on distance alone dropped a
+            # valid d=inf match behind earlier placeholder columns)
+            order = np.lexsort((cat_d, ~cat_v))[:, :count]
             best_d = np.take_along_axis(cat_d, order, axis=1)
             best_k = np.take_along_axis(cat_k, order, axis=1)
             best_valid = np.take_along_axis(cat_v, order, axis=1)

@@ -31,10 +31,16 @@ def join(men, women, max_proposals: int = 0, exact: bool = False) -> Dict[int, i
         # a generous fixed window keeps match rates high at batch cost ~0
         max_proposals = int(min(n_women, max(16, int(np.ceil(np.log2(n_women + 1))) * 4)))
 
-    men_keys = np.array(men.keys)
+    # slot-aligned (key, vector) pairs: with multi=True, `men.vectors`
+    # expands duplicate keys once PER OCCURRENCE via get() and falls out of
+    # step with `men.keys` — fetching by live slot keeps row i ↔ key i
+    from .enums import ScalarKind
+
+    live = men._live_slots()
+    men_keys = np.asarray(men._slot_keys[live], dtype=np.uint64)
     women_keys_order: Dict[int, int] = {}
 
-    vectors = men.vectors  # decoded f32 rows in the same order as men.keys
+    vectors = men._fetch_slots(live, ScalarKind.F32)
     matches = women.search(vectors, max_proposals, exact=exact)
     proposal_keys = matches.keys  # [n_men, P]
     proposal_dists = matches.distances

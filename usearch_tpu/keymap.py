@@ -41,9 +41,12 @@ class _PyKeyMap:
                     cur.append(s)
                 else:
                     m[k] = [cur, s]
+            self._size += len(keys)
         else:
+            # count only genuinely new keys: overwrites must not drift len()
+            before = len(m)
             m.update(zip(keys.tolist(), slots.tolist()))
-        self._size += len(keys)
+            self._size += len(m) - before
 
     def slots_of(self, key: int) -> List[int]:
         cur = self._map.get(int(key))

@@ -90,6 +90,16 @@ _METRIC_FNS = {
 }
 
 
+def _null_safe(f):
+    """SQL convention: any NULL argument yields NULL (str(None) would
+    otherwise silently compute a distance against the literal 'None')."""
+    def wrapped(x, y):
+        if x is None or y is None:
+            return None
+        return f(x, y)
+    return wrapped
+
+
 def register(conn: sqlite3.Connection) -> sqlite3.Connection:
     """Install all usearch distance functions on a connection."""
     for skind, dt in _SCALAR_FNS.items():
@@ -99,42 +109,44 @@ def register(conn: sqlite3.Connection) -> sqlite3.Connection:
             def fn(x, y, _dt=dt, _m=mfn):
                 return _m(_to_vector(x, _dt), _to_vector(y, _dt))
 
-            conn.create_function(name, 2, fn, deterministic=True)
+            conn.create_function(name, 2, _null_safe(fn), deterministic=True)
 
     conn.create_function(
         "distance_hamming_binary",
         2,
-        lambda x, y: _hamming_bits(_to_vector(x, np.uint8), _to_vector(y, np.uint8)),
+        _null_safe(lambda x, y: _hamming_bits(_to_vector(x, np.uint8), _to_vector(y, np.uint8))),
         deterministic=True,
     )
     conn.create_function(
         "distance_jaccard_binary",
         2,
-        lambda x, y: _jaccard_bits(_to_vector(x, np.uint8), _to_vector(y, np.uint8)),
+        _null_safe(lambda x, y: _jaccard_bits(_to_vector(x, np.uint8), _to_vector(y, np.uint8))),
         deterministic=True,
     )
     conn.create_function(
         "distance_levenshtein_bytes",
         2,
-        lambda x, y: levenshtein(
+        _null_safe(lambda x, y: levenshtein(
             x if isinstance(x, bytes) else str(x).encode(),
             y if isinstance(y, bytes) else str(y).encode(),
-        ),
+        )),
         deterministic=True,
     )
     conn.create_function(
-        "distance_levenshtein_unicode", 2, lambda x, y: levenshtein(str(x), str(y)), deterministic=True
+        "distance_levenshtein_unicode", 2,
+        _null_safe(lambda x, y: levenshtein(str(x), str(y))), deterministic=True
     )
     conn.create_function(
         "distance_hamming_bytes",
         2,
-        lambda x, y: _hamming_str(
+        _null_safe(lambda x, y: _hamming_str(
             x if isinstance(x, bytes) else str(x).encode(),
             y if isinstance(y, bytes) else str(y).encode(),
-        ),
+        )),
         deterministic=True,
     )
     conn.create_function(
-        "distance_hamming_unicode", 2, lambda x, y: _hamming_str(str(x), str(y)), deterministic=True
+        "distance_hamming_unicode", 2,
+        _null_safe(lambda x, y: _hamming_str(str(x), str(y))), deterministic=True
     )
     return conn
