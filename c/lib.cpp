@@ -77,6 +77,8 @@ def init(metric_id, quant_id, dims, conn, ea, es, multi, metric_ptr=0):
 def free(h):
     _indexes.pop(h, None)
     _host_metrics.pop(h, None)
+    _threads.pop((h, 0), None)
+    _threads.pop((h, 1), None)
     return 0
 
 
@@ -179,7 +181,7 @@ def change_metric(h, fn_ptr, state_ptr, kind_id):
     return 0
 
 
-def _host_search(index, f, q, k, keys_ptr, dists_ptr, allowed):
+def _host_search(index, f, q, k, keys_ptr, dists_ptr, allowed, q_kind_id):
     # slot-aligned fetch: keys may repeat under `multi`, and get() would
     # return ragged per-key matrices — walking live SLOTS keeps rows[i]
     # aligned with keys[i] in every mode
@@ -193,6 +195,14 @@ def _host_search(index, f, q, k, keys_ptr, dists_ptr, allowed):
     rows = np.atleast_2d(
         np.ascontiguousarray(index._fetch_slots(slots, index.dtype))
     )
+    # the UDF sees BOTH operands in the index's stored representation —
+    # cast the query from the caller's kind first (the reference casts via
+    # cast_buffer_ before invoking punned UDFs)
+    from usearch_tpu.enums import normalize_dtype
+    q_kind = normalize_dtype(_SCALARS.get(q_kind_id, "f32"))
+    if q_kind != index.dtype:
+        from usearch_tpu.ops.casts import cast_vectors
+        q = cast_vectors(np.atleast_2d(q), q_kind, index.dtype, index.ndim)[0]
     q = np.ascontiguousarray(q)
     dists = np.empty(rows.shape[0], np.float32)
     qp = q.ctypes.data
@@ -224,7 +234,7 @@ def search(h, query_ptr, kind_id, k, keys_ptr, dists_ptr, allowed_ptr, allowed_n
     if allowed_ptr:
         allowed = np.asarray(_wrap(allowed_ptr, allowed_n, 2).view(np.uint64))
     if h in _host_metrics:
-        return _host_search(index, _host_metrics[h], q, k, keys_ptr, dists_ptr, allowed)
+        return _host_search(index, _host_metrics[h], q, k, keys_ptr, dists_ptr, allowed, kind_id)
     kwargs = {} if allowed is None else {"filter": allowed}
     m = index.search(q, k, **kwargs)
     n = len(m.keys)
@@ -256,17 +266,41 @@ def distance(a_ptr, b_ptr, kind_id, dims, metric_id):
     return float(m.distances[0, 0])
 
 
-def exact(ds_ptr, ds_n, q_ptr, q_n, kind_id, dims, metric_id, k, keys_ptr, dists_ptr):
+def _strided_rows(ptr, n, stride, kind_id, per):
+    """Rows from a C buffer honoring a BYTE stride (0 = tight)."""
+    dt = np.dtype(_np_dtype(kind_id))
+    row_bytes = per * dt.itemsize
+    if n == 0:
+        return np.zeros((0, per), dt)
+    if not stride or stride == row_bytes:
+        return np.asarray(_wrap(ptr, n * per, kind_id)).reshape(n, per)
+    total = (n - 1) * stride + row_bytes  # never read past the last row
+    buf = np.frombuffer((ctypes.c_char * total).from_address(ptr), np.uint8)
+    sv = np.lib.stride_tricks.as_strided(buf, shape=(n, row_bytes), strides=(stride, 1))
+    return np.ascontiguousarray(sv).view(dt).reshape(n, per)
+
+
+def exact(ds_ptr, ds_n, ds_stride, q_ptr, q_n, q_stride, kind_id, dims,
+          metric_id, k, keys_ptr, keys_stride, dists_ptr, dists_stride):
     from usearch_tpu.exact import exact_search
     per = ((dims + 7) // 8) if kind_id == 6 else dims
-    ds = np.asarray(_wrap(ds_ptr, ds_n * per, kind_id)).reshape(ds_n, per)
-    qs = np.asarray(_wrap(q_ptr, q_n * per, kind_id)).reshape(q_n, per)
+    ds = _strided_rows(ds_ptr, ds_n, ds_stride, kind_id, per)
+    qs = _strided_rows(q_ptr, q_n, q_stride, kind_id, per)
     m = exact_search(ds, qs, k, metric=_METRICS.get(metric_id, "cos"))
     keys = np.ascontiguousarray(m.keys, dtype=np.uint64)
     dists = np.ascontiguousarray(m.distances, dtype=np.float32)
-    ctypes.memmove(keys_ptr, keys.ctypes.data, keys.nbytes)
-    ctypes.memmove(dists_ptr, dists.ctypes.data, dists.nbytes)
-    return int(keys.shape[1])
+    kk = int(keys.shape[1])
+    krow, drow = kk * 8, kk * 4
+    ks = keys_stride or krow
+    dstr = dists_stride or drow
+    if ks == krow and dstr == drow:
+        ctypes.memmove(keys_ptr, keys.ctypes.data, keys.nbytes)
+        ctypes.memmove(dists_ptr, dists.ctypes.data, dists.nbytes)
+    else:  # strided outputs: one memmove per row
+        for i in range(q_n):
+            ctypes.memmove(keys_ptr + i * ks, keys[i].ctypes.data, krow)
+            ctypes.memmove(dists_ptr + i * dstr, dists[i].ctypes.data, drow)
+    return kk
 )PY";
 
 PyObject* g_helper = nullptr;
@@ -276,6 +310,13 @@ bool ensure_python(usearch_error_t* error) {
     std::lock_guard<std::mutex> lock(g_init_mutex);
     if (g_helper)
         return true;
+    // KNOWN LIMITATION: when the library self-initializes the interpreter,
+    // the first calling thread retains the GIL (Py_InitializeEx acquires
+    // it and the gilstate pairs below never fully drop a LOCKED state), so
+    // ALL subsequent C ABI calls must come from that same thread. Detaching
+    // the main thread state (PyEval_SaveThread, either ordering) crashes
+    // this embedded JAX/XLA stack at runtime — revisit with a dedicated
+    // interpreter thread if cross-thread C consumers are needed.
     if (!Py_IsInitialized())
         Py_InitializeEx(0);
     PyGILState_STATE gil = PyGILState_Ensure();
@@ -439,8 +480,12 @@ void usearch_view(usearch_index_t index, char const* path, usearch_error_t* erro
 void usearch_metadata(char const* path, usearch_init_options_t* options, usearch_error_t* error) {
     if (error) *error = nullptr;
     PyObject* r = call_helper(error, "metadata", "(s)", path);
-    if (!r || !options)
+    if (!r)
         return;
+    if (!options) {  // validation-only call: don't leak the result tuple
+        Py_DECREF(r);
+        return;
+    }
     unsigned long long metric = 0, scalar = 0, dims = 0, multi = 0;
     if (PyArg_ParseTuple(r, "KKKK", &metric, &scalar, &dims, &multi)) {
         options->metric_kind = (usearch_metric_kind_t)metric;
@@ -583,18 +628,16 @@ void usearch_exact_search(void const* dataset, size_t dataset_count, size_t data
                           usearch_key_t* keys, size_t keys_stride,
                           usearch_distance_t* distances, size_t distances_stride,
                           usearch_error_t* error) {
-    (void)dataset_stride;
-    (void)queries_stride;
     (void)threads;
-    (void)keys_stride;
-    (void)distances_stride;
     if (error) *error = nullptr;
-    call_u64(error, "exact", "(KKKKKKKKKK)", (unsigned long long)(uintptr_t)dataset,
-             (unsigned long long)dataset_count, (unsigned long long)(uintptr_t)queries,
-             (unsigned long long)queries_count, (unsigned long long)scalar_kind,
+    call_u64(error, "exact", "(KKKKKKKKKKKKKK)", (unsigned long long)(uintptr_t)dataset,
+             (unsigned long long)dataset_count, (unsigned long long)dataset_stride,
+             (unsigned long long)(uintptr_t)queries, (unsigned long long)queries_count,
+             (unsigned long long)queries_stride, (unsigned long long)scalar_kind,
              (unsigned long long)dimensions, (unsigned long long)metric_kind,
              (unsigned long long)count, (unsigned long long)(uintptr_t)keys,
-             (unsigned long long)(uintptr_t)distances);
+             (unsigned long long)keys_stride, (unsigned long long)(uintptr_t)distances,
+             (unsigned long long)distances_stride);
 }
 
 void usearch_clear(usearch_index_t index, usearch_error_t* error) {

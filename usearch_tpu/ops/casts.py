@@ -25,6 +25,24 @@ from .packbits import pack_bits_np, unpack_bits_np
 import functools
 
 
+def _i8_quantize(x, xp):
+    """ONE i8 quantizer body shared by the numpy fallback, the XLA:CPU jit
+    path, and the on-device ingestion cast (`xp` is np or jnp): normalize
+    each row to unit L2, scale to ±127, clamp, truncate (C-style toward
+    zero, static_cast<int8_t> semantics). The norm is computed on
+    max-rescaled rows so f32 `x*x` can't overflow to inf (one path used to
+    run f64 numpy and the other f32 XLA — the SAME vector then quantized
+    differently depending on batch size)."""
+    x = x.astype(xp.float32)
+    mx = xp.max(xp.abs(x), axis=-1, keepdims=True)
+    mx = xp.where(mx == 0.0, 1.0, mx)
+    xn = x / mx
+    norm = xp.sqrt(xp.sum(xn * xn, axis=-1, keepdims=True))
+    norm = xp.where(norm == 0.0, 1.0, norm)
+    s = xp.clip(xn * (127.0 / norm), -127.0, 127.0)
+    return xp.trunc(s).astype(xp.int8)
+
+
 @functools.cache
 def _jax_cpu_i8_cast():
     """Jitted i8 quantizer pinned to the local XLA:CPU backend — this image's
@@ -34,32 +52,17 @@ def _jax_cpu_i8_cast():
     import jax.numpy as jnp
 
     cpu = jax.local_devices(backend="cpu")[0]
-
-    @functools.partial(jax.jit, device=cpu)
-    def cast(x):
-        x = x.astype(jnp.float32)
-        m = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
-        m = jnp.where(m == 0.0, 1.0, m)
-        s = jnp.clip(x * (127.0 / m), -127.0, 127.0)
-        return jnp.trunc(s).astype(jnp.int8)
-
-    return cast
+    return functools.partial(jax.jit, device=cpu)(lambda x: _i8_quantize(x, jnp))
 
 
 def cast_to_i8_np(values: np.ndarray) -> np.ndarray:
-    """Normalize each row to unit L2, scale to ±127, clamp, truncate
-    (C-style toward zero, matching static_cast<int8_t>)."""
     values = np.asarray(values)
     if values.size >= 1 << 16:
         try:
             return np.asarray(_jax_cpu_i8_cast()(values.astype(np.float32)))
         except Exception:  # pragma: no cover - no cpu backend
             pass
-    values = values.astype(np.float64)
-    magnitude = np.sqrt(np.sum(values * values, axis=-1, keepdims=True))
-    magnitude = np.where(magnitude == 0.0, 1.0, magnitude)
-    scaled = np.clip(values * (127.0 / magnitude), -127.0, 127.0)
-    return np.trunc(scaled).astype(np.int8)
+    return _i8_quantize(values, np)
 
 
 def cast_from_i8_np(values: np.ndarray, out_dtype=np.float32) -> np.ndarray:
@@ -85,10 +88,7 @@ def cast_rows_jnp(x, from_kind: ScalarKind, to_kind: ScalarKind):
     else:
         decoded = x.astype(jnp.float32)
     if to_kind == ScalarKind.I8:
-        m = jnp.sqrt(jnp.sum(decoded * decoded, axis=-1, keepdims=True))
-        m = jnp.where(m == 0.0, 1.0, m)
-        s = jnp.clip(decoded * (127.0 / m), -127.0, 127.0)
-        return jnp.trunc(s).astype(jnp.int8)
+        return _i8_quantize(decoded, jnp)
     return decoded.astype(to_jax_dtype(to_kind))
 
 

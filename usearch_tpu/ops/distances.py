@@ -287,6 +287,16 @@ def pair_dists(
         denom = q_sq + t_sq
         return jnp.where(denom == 0.0, 0.0, 1.0 - 2.0 * dots / jnp.where(denom == 0.0, 1.0, denom))
     if metric == MetricKind.Jaccard:
-        full = jaccard_set_dists(a, b)
-        return jnp.diagonal(full)
+        # row-wise directly: the [N, N] cross matrix whose diagonal this is
+        # would cost O(N²·D²) memory (~16 GB at N=1000, D=128)
+        ai = a.astype(jnp.int32)
+        bi = b.astype(jnp.int32)
+        a_valid = ai != -1
+        b_valid = bi != -1
+        eq = (ai[:, :, None] == bi[:, None, :]) & a_valid[:, :, None] & b_valid[:, None, :]
+        inter = jnp.sum(jnp.any(eq, axis=-1), axis=-1).astype(jnp.float32)
+        union = (
+            jnp.sum(a_valid, axis=-1) + jnp.sum(b_valid, axis=-1)
+        ).astype(jnp.float32) - inter
+        return jnp.where(union == 0.0, 0.0, 1.0 - inter / jnp.where(union == 0.0, 1.0, union))
     raise ValueError(f"Unsupported metric: {metric}")
