@@ -69,6 +69,44 @@ def test_index_cluster(rng):
     assert len(sub.queries) == len(members)
 
 
+def test_cluster_bounds_contract_skewed(rng):
+    """Property: populated cluster count ∈ [min_count, max_count] whenever
+    feasible — even on heavily skewed data where plain k-means leaves
+    clusters empty (reference deepen/merge contract,
+    index_dense.hpp:1819-1981)."""
+    index = Index(ndim=4, metric="l2sq", dtype="f32")
+    # 97 points piled on one spot + 3 barely-separated stragglers: k-means
+    # with k=6 routinely collapses clusters on this
+    X = np.concatenate(
+        [
+            np.zeros((97, 4), np.float32) + rng.normal(0, 1e-4, (97, 4)),
+            np.eye(4, dtype=np.float32)[:3] * 100.0,
+        ]
+    ).astype(np.float32)
+    index.add(np.arange(len(X), dtype=np.uint64), X)
+    for lo, hi in [(6, 8), (5, 5), (8, 12)]:
+        c = index.cluster(min_count=lo, max_count=hi)
+        _, sizes = c.centroids_popularity
+        populated = int((sizes > 0).sum())
+        assert lo <= populated <= hi, (lo, hi, populated)
+        assert sizes.sum() == len(X)
+
+    # degenerate: ALL points identical — count contract still holds (split
+    # by arbitrary halving under ties)
+    index2 = Index(ndim=4, metric="l2sq", dtype="f32")
+    index2.add(np.arange(20, dtype=np.uint64), np.ones((20, 4), np.float32))
+    c = index2.cluster(min_count=4, max_count=6)
+    _, sizes = c.centroids_popularity
+    assert 4 <= int((sizes > 0).sum()) <= 6
+
+    # infeasible floor (min_count > n) must not loop forever
+    index3 = Index(ndim=4, metric="l2sq", dtype="f32")
+    index3.add(np.arange(3, dtype=np.uint64), rng.normal(size=(3, 4)).astype(np.float32))
+    c = index3.cluster(min_count=8, max_count=10)
+    _, sizes = c.centroids_popularity
+    assert int((sizes > 0).sum()) <= 3
+
+
 def test_index_cluster_with_queries(rng):
     index = Index(ndim=8, metric="l2sq", dtype="f32")
     X = _blobs(rng, 40, 3, 8)

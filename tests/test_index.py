@@ -229,6 +229,50 @@ def test_filtered_search():
     assert m.keys[0] == 1
 
 
+def test_filtered_search_vectorized_and_cached():
+    """Vectorized predicate contract (filter(keys_array) -> bool array) and
+    mask caching keyed on (filter identity, table version)."""
+    index = Index(ndim=8, dtype="f32")
+    vecs = np.random.rand(64, 8).astype(np.float32)
+    index.add(np.arange(64), vecs)
+
+    calls = []
+
+    def vec_pred(keys):
+        calls.append(np.asarray(keys).shape)
+        return np.asarray(keys) % 3 == 0
+
+    m = index.search(vecs[0], 5, filter=vec_pred)
+    assert all(k % 3 == 0 for k in m.keys)
+    # vectorized: called with the whole live-key array, not per key
+    assert len(calls) == 1 and calls[0] == (64,)
+
+    # cache hit: same filter object + unchanged table -> no new call
+    index.search(vecs[1], 5, filter=vec_pred)
+    assert len(calls) == 1
+
+    # mutation bumps the version -> mask rebuilt (and removed key excluded)
+    index.remove(0)
+    m = index.search(vecs[0], 5, filter=vec_pred)
+    assert len(calls) == 2
+    assert 0 not in m.keys and all(k % 3 == 0 for k in m.keys)
+
+    # scalar-callable fallback still works (raises on array input)
+    def scalar_pred(key):
+        if not np.isscalar(key) and getattr(key, "ndim", 0):
+            raise TypeError("scalar only")
+        return key % 2 == 0
+
+    m = index.search(vecs[2], 5, filter=scalar_pred)
+    assert all(k % 2 == 0 for k in m.keys)
+
+    # allow-list masks are cached too (same array object reused)
+    allow = np.array([3, 6, 9], dtype=np.uint64)
+    m1 = index.search(vecs[3], 3, filter=allow)
+    m2 = index.search(vecs[4], 3, filter=allow)
+    assert set(m1.keys).issubset({3, 6, 9}) and set(m2.keys).issubset({3, 6, 9})
+
+
 def test_binary_index():
     """Bit-packed tanimoto/hamming indexes (reference test_sparse.py)."""
     reset_randomness()

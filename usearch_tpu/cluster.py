@@ -67,6 +67,43 @@ def cluster_index(
     if metric not in (MetricKind.Cos, MetricKind.IP, MetricKind.L2sq):
         metric = MetricKind.L2sq
     assigns, dists, centroids = kmeans_fit(member_rows_dev, k, metric=metric, seed=0)
+    assigns = np.asarray(assigns).copy()
+    dists = np.asarray(dists).copy()
+    centroids = np.asarray(centroids)
+
+    # Bounds contract (reference index_dense.hpp:1819-1981: deepen when too
+    # few clusters, merge nearest when too many): k-means on skewed data can
+    # leave clusters EMPTY, undershooting min_count even though k was clamped
+    # into [lo, hi]. Enforce the floor by splitting the largest populated
+    # cluster until the populated count reaches lo (or every cluster is a
+    # singleton — then lo is infeasible). Overshoot cannot occur: k <= hi and
+    # populated <= k.
+    populated = len(np.unique(assigns))
+    while populated < min(lo, n):
+        counts_arr = np.bincount(assigns, minlength=centroids.shape[0])
+        big = int(np.argmax(counts_arr))
+        members = np.nonzero(assigns == big)[0]
+        if len(members) < 2:
+            break  # all populated clusters are singletons: floor infeasible
+        if member_rows is None:
+            member_rows = np.asarray(member_rows_dev)
+        rows_b = member_rows[members].astype(np.float32)
+        # farthest member from its centroid seeds the split
+        far_local = int(np.argmax(np.sum((rows_b - centroids[big]) ** 2, axis=1)))
+        new_c = rows_b[far_local]
+        two = np.stack([centroids[big], new_c])
+        a2, d2 = _assign_to_centroids(rows_b, two, metric)
+        moved = a2 == 1
+        if not moved.any() or moved.all():
+            # degenerate (duplicate points): halve arbitrarily — the contract
+            # is the cluster COUNT, Voronoi purity is meaningless under ties
+            moved = np.zeros(len(members), dtype=bool)
+            moved[len(members) // 2 :] = True
+        new_id = centroids.shape[0]
+        centroids = np.vstack([centroids, new_c[None]])
+        assigns[members[moved]] = new_id
+        dists[members] = np.where(moved, d2, dists[members])
+        populated += 1
 
     # Each centroid is labeled by its nearest member's key (the reference's
     # clusters are real nodes at an upper level, index_dense.hpp:1830-1860).

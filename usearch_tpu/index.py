@@ -180,12 +180,15 @@ def _reads(fn):
 
 
 def _mutates(fn):
-    """Exclusive-access decorator for Index mutation paths."""
+    """Exclusive-access decorator for Index mutation paths. Also bumps the
+    table version — caches keyed on table contents (filter masks, IVF
+    validity composites) use it to invalidate."""
 
     @functools.wraps(fn)
     def wrapper(self, *args, **kwargs):
         self._rwlock.acquire_write()
         try:
+            self._version = getattr(self, "_version", 0) + 1
             return fn(self, *args, **kwargs)
         finally:
             self._rwlock.release_write()
@@ -1076,9 +1079,11 @@ class Index:
         n_q = vectors.shape[0] if not single else 1
         k = min(int(count), self._count)
 
-        valid = self._valid
-        if filter is not None:
-            valid = jnp.logical_and(valid, self._filter_mask(filter))
+        # _filter_mask returns the mask ALREADY composed with self._valid and
+        # cached on (filter, version): repeat searches with the same filter
+        # reuse one device array, which also keeps the IVF probe's
+        # identity-keyed validity caches warm across calls.
+        valid = self._valid if filter is None else self._filter_mask(filter)
 
         use_ivf = (
             not exact
@@ -1133,19 +1138,57 @@ class Index:
         )
 
     def _filter_mask(self, filter) -> jnp.ndarray:
-        """Key-level predicate → slot-level mask (the TPU analog of the
-        filtered-search predicate, reference index.hpp:4175-4246)."""
+        """Key-level predicate → slot-level device mask (the TPU analog of
+        the filtered-search predicate, reference index.hpp:4175-4246).
+
+        Masks are CACHED keyed on (filter identity, table version): repeated
+        searches with the same predicate/allow-list pay the mask build once.
+        Callable predicates are tried VECTORIZED first — ``filter(keys)``
+        with the full uint64 key array, expecting a boolean array back
+        (the fast contract; numpy/jax lambdas qualify unchanged). Scalar
+        per-key callables still work through an O(live) fallback loop,
+        appropriate only for small indexes."""
+        cache = getattr(self, "_filter_cache", None)
+        if cache is None:
+            cache = self._filter_cache = {}
+        ck = id(filter)
+        hit = cache.get(ck)
+        version = getattr(self, "_version", 0)
+        if hit is not None and hit[0] == version and hit[1] is filter:
+            return hit[2]
+
+        live = self._live_slots()
+        mask_np = np.zeros(self._capacity, dtype=bool)
         if callable(filter):
-            keys = self._slot_keys[: self._capacity]
-            mask_np = np.zeros(self._capacity, dtype=bool)
-            live = self._live_slots()
-            mask_np[live] = np.asarray([bool(filter(int(k))) for k in keys[live]])
+            keys_live = self._slot_keys[live]
+            res = None
+            if len(live):
+                try:  # vectorized contract: bool array over the key array
+                    out = filter(keys_live)
+                    out = np.asarray(out)
+                    if out.shape == keys_live.shape and out.dtype != object:
+                        res = out.astype(bool)
+                except Exception:
+                    res = None
+            if res is None and len(live):  # scalar-callable fallback
+                res = np.fromiter(
+                    (bool(filter(int(k))) for k in keys_live),
+                    dtype=bool,
+                    count=len(keys_live),
+                )
+            if len(live):
+                mask_np[live] = res
         else:
-            mask_np = np.zeros(self._capacity, dtype=bool)
             allowed = np.asarray(filter, dtype=np.uint64)
-            live = self._live_slots()
             mask_np[live] = np.isin(self._slot_keys[live], allowed)
-        return jnp.asarray(mask_np)
+        # compose with the deletion mask HERE so the cached array is the
+        # final validity — its stable identity keeps the IVF probe's
+        # identity-keyed part_valid caches warm across repeated searches
+        mask = jnp.logical_and(self._valid, jnp.asarray(mask_np))
+        if len(cache) >= 8:  # bounded: drop the oldest entry
+            cache.pop(next(iter(cache)))
+        cache[ck] = (version, filter, mask)
+        return mask
 
     def _search_prepared(
         self, q_rows, k: int, valid, use_ivf: bool, approx: bool = False
