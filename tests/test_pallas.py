@@ -279,7 +279,8 @@ def test_kernel_backend_dispatch(rng):
             MetricKind.IP, ScalarKind.F32, q, table, stats, valid, d, k, 1024,
             None, True,
         )
-        # ineligible (exact) searches fall back to XLA
+        # exact searches route to the bin-rescore exact kernel — results
+        # must EQUAL the XLA exact path
         c = ex.search_kernel(
             MetricKind.IP, ScalarKind.F32, q, table, stats, valid, d, k, 1024,
             None, False,
@@ -289,3 +290,86 @@ def test_kernel_backend_dispatch(rng):
     np.testing.assert_array_equal(np.asarray(a[1][:, 0]), np.asarray(b[1][:, 0]))
     np.testing.assert_allclose(np.asarray(a[0][:, 0]), np.asarray(b[0][:, 0]), rtol=1e-4)
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(c[1]))
+
+
+@pytest.mark.parametrize("metric", [MetricKind.IP, MetricKind.Cos, MetricKind.L2sq])
+@pytest.mark.parametrize("kind", [ScalarKind.F32, ScalarKind.I8])
+def test_pallas_exact_matches_xla(rng, metric, kind):
+    """pallas_search_exact returns the EXACT top-k (ids and distances equal
+    to the XLA full-merge path) for every supported metric/dtype."""
+    from usearch_tpu.ops.pallas_scan import pallas_search_exact
+
+    n, d, q_n, k = 4096, 128, 64, 10
+    if kind == ScalarKind.I8:
+        table = jnp.asarray(rng.integers(-127, 128, (n, d)), jnp.int8)
+        q = jnp.asarray(rng.integers(-127, 128, (q_n, d)), jnp.int8)
+    else:
+        table = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+        q = jnp.asarray(rng.standard_normal((q_n, d)), jnp.float32)
+    stats = row_stats(table, kind)
+    q_stats = row_stats(q, kind)
+    valid = jnp.asarray(rng.random(n) > 0.1)  # with deletions
+
+    want_d, want_i = masked_topk(
+        tile_dists(metric, kind, q, q_stats, table, stats, d), valid, k
+    )
+    got_d, got_i = pallas_search_exact(
+        metric, q, table, stats, valid, k, q_tile=64, t_tile=1024, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d), rtol=1e-5, atol=1e-5)
+    # ids equal modulo exact distance ties
+    gi, wi = np.asarray(got_i), np.asarray(want_i)
+    mismatch = gi != wi
+    if mismatch.any():
+        gd, wd = np.asarray(got_d), np.asarray(want_d)
+        np.testing.assert_allclose(gd[mismatch], wd[mismatch], rtol=0, atol=1e-6)
+
+
+def test_pallas_exact_adversarial_lane_layout(rng):
+    """All valid rows packed into bins sharing one lane (bin_id % 128 == 0):
+    the staged bin selection alone would miss most winners — the miss
+    detector must trigger the full-top_k fallback and stay exact."""
+    from usearch_tpu.ops.pallas_scan import pallas_search_exact
+
+    n, d, q_n, k = 131072, 128, 8, 10  # 1024 bins, 8 lane groups
+    table = np.asarray(rng.standard_normal((n, d)), np.float32)
+    valid_np = np.zeros(n, bool)
+    # valid rows only in bins 0, 128, 256, ... (every bin_id % 128 == 0)
+    for b in range(0, 1024, 128):
+        valid_np[b * 128 : b * 128 + 128] = True
+    table = jnp.asarray(table)
+    q = table[:q_n]
+    stats = row_stats(table, ScalarKind.F32)
+    valid = jnp.asarray(valid_np)
+
+    want_d, want_i = masked_topk(
+        tile_dists(MetricKind.L2sq, ScalarKind.F32, q, row_stats(q, ScalarKind.F32),
+                   table, stats, d),
+        valid, k,
+    )
+    got_d, got_i = pallas_search_exact(
+        MetricKind.L2sq, q, table, stats, valid, k,
+        q_tile=8, t_tile=8192, interpret=True,
+    )
+    # rtol covers the f32 accumulation-order epsilon between the two paths'
+    # matmuls (batched matvec vs tile matmul); ids must agree exactly
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d), rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_exact_search_ragged_shapes_pallas(rng):
+    """Free exact_search on ragged (non-power-of-two) tables/query counts
+    routes through the Pallas kernels and matches the XLA backend."""
+    from usearch_tpu import exact as ex
+
+    n, d = 3000, 64  # pads to 3072 = 6*512
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((37, d)).astype(np.float32)
+    ex.set_kernel_backend("pallas")
+    try:
+        got = ex.exact_search(data, queries, 7, metric="l2sq")
+    finally:
+        ex.set_kernel_backend("xla")
+    want = ex.exact_search(data, queries, 7, metric="l2sq")
+    np.testing.assert_allclose(got.distances, want.distances, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(got.keys, want.keys)

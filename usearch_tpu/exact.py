@@ -77,10 +77,16 @@ def _use_pallas() -> bool:
 
 
 def _pallas_tiles(metric, kind, q, table, k, metric_fn, approx):
-    """Tile sizes (q_tile, t_tile) when the Pallas kernel applies, else None."""
+    """Tile sizes (q_tile, t_tile) when the Pallas kernel applies, else None.
+
+    Approx mode rides the binned kernel up to k=128 (bin-collision loss at
+    k=128/N=1M ≈ 0.8%, within the ~99% approx contract); exact mode rides
+    the bin-rescore kernel (pallas_search_exact) up to k=32, where the
+    Q·(k+slack)·128-row rescore gather stays a small fraction of one table
+    read. Larger k falls back to the XLA scan."""
     from .ops import pallas_scan
 
-    if metric_fn is not None or not approx or k > 64:
+    if metric_fn is not None or k > (128 if approx else 32):
         return None
     if not pallas_scan.supports(metric, kind):
         return None
@@ -117,17 +123,27 @@ def search_kernel(
     if _use_pallas():
         tiles = _pallas_tiles(metric, kind, q, table, k, metric_fn, approx)
         if tiles is not None:
-            from .ops.pallas_scan import pallas_search_binned
-
             q_tile, t_tile = tiles
-            # transposed + full-precision outputs measured fastest (263k QPS
-            # vs 232k compact / 220k compute_bf16 at 1M×256 i8, v5e); the i8
-            # MXU dot runs at native rate in this orientation
-            return pallas_search_binned(
+            interp = jax.default_backend() == "cpu"
+            if approx:
+                from .ops.pallas_scan import pallas_search_binned
+
+                # transposed + full-precision outputs measured fastest (263k
+                # QPS vs 232k compact / 220k compute_bf16 at 1M×256 i8, v5e);
+                # the i8 MXU dot runs at native rate in this orientation
+                return pallas_search_binned(
+                    metric, q, table, stats, valid, k,
+                    q_tile=q_tile, t_tile=t_tile,
+                    interpret=interp,
+                    transposed=True,
+                )
+            from .ops.pallas_scan import pallas_search_exact
+
+            # EXACT at scan speed: binned minima + full rescore of the
+            # winning bins (replaces the sort-bound true-merge XLA path)
+            return pallas_search_exact(
                 metric, q, table, stats, valid, k,
-                q_tile=q_tile, t_tile=t_tile,
-                interpret=jax.default_backend() == "cpu",
-                transposed=True,
+                q_tile=q_tile, t_tile=t_tile, interpret=interp,
             )
     return _search_kernel_xla(
         metric, kind, q, table, stats, valid, ndim, k, tile_rows, metric_fn, approx
@@ -265,6 +281,10 @@ def exact_search(
     if n_rows > 64 * 1024:
         # power-of-two padding lets 64k-row scan tiles divide the table
         n_pad = 1 << (n_rows - 1).bit_length()
+    elif n_rows >= 1024:
+        # 512-multiples keep ragged mid-size tables on the Pallas fast path
+        # (t_tile=512 always divides); waste is < 512 rows
+        n_pad = pad_rows(n_rows, 512)
     else:
         n_pad = pad_rows(n_rows, 8)
     if n_pad > table_np.shape[0]:

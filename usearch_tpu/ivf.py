@@ -33,7 +33,7 @@ import numpy as np
 from .enums import MetricKind, ScalarKind
 from .kmeans import kmeans_fit
 from .ops.distances import MASKED, row_stats, tile_dists
-from .ops.topk import masked_topk, merge_topk
+from .ops.topk import masked_topk, merge_topk, staged_topk as _staged_topk
 
 _QUERY_CHUNK = 256
 
@@ -585,36 +585,6 @@ def _ivf_probe_search(
     d_all = d_all.reshape(n_chunks * chunk, k)[:n_q]
     i_all = i_all.reshape(n_chunks * chunk, k)[:n_q]
     return d_all, i_all.astype(jnp.int32)
-
-
-def _staged_topk(dist, cand, kk: int, m: int = 4):
-    """Top-kk of a wide [chunk, W] candidate row (W % 128 == 0) in two
-    stages: per-LANE top-m over the sublane axis (m cheap min-extraction
-    passes on the VPU), then one exact top_k over the m·128 survivors.
-
-    lax.top_k over the full width dominated the probe (measured ~78 ms of a
-    125 ms batch at W=10240); this is ~20× narrower. Exact as long as no
-    single lane holds > m of the true top-kk — candidates land on lanes by
-    position % 128, uniform for cluster-major windows, so the miss
-    probability is ~C(kk, m+1)·128^-m ≈ 1e-6 at kk=10, m=4."""
-    chunk, width = dist.shape
-    s = width // 128
-    if width % 128 or s < 2 * m or kk > m * 128:
-        neg, sel = jax.lax.top_k(-dist, kk)
-        return -neg, jnp.take_along_axis(cand, sel, axis=1)
-    d3 = dist.reshape(chunk, s, 128)
-    i3 = cand.reshape(chunk, s, 128)
-    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, s, 128), 1)
-    vals, ids = [], []
-    for _ in range(m):
-        am = jnp.argmin(d3, axis=1)  # [chunk, 128]
-        vals.append(jnp.min(d3, axis=1))
-        ids.append(jnp.take_along_axis(i3, am[:, None, :], axis=1)[:, 0])
-        d3 = jnp.where(sub_iota == am[:, None, :], MASKED, d3)
-    d_small = jnp.stack(vals, axis=1).reshape(chunk, m * 128)
-    i_small = jnp.stack(ids, axis=1).reshape(chunk, m * 128)
-    neg, sel = jax.lax.top_k(-d_small, kk)
-    return -neg, jnp.take_along_axis(i_small, sel, axis=1)
 
 
 def _dense_probe_core(

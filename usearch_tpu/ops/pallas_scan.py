@@ -27,6 +27,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 from ..enums import MetricKind, ScalarKind
@@ -595,6 +596,202 @@ def pallas_search_binned(
     i_sel = jnp.take_along_axis(out_i.T, sel.astype(jnp.int32), axis=1)
     i_sel = jnp.where(d_sel >= MASKED / 2, -1, i_sel)
     return d_sel, i_sel
+
+
+def _make_binned_t_min_kernel(metric: MetricKind, t_tile: int):
+    """Minima-only transposed cell for the EXACT path: emits per-128-row-bin
+    minima [n_bins, qt] and nothing else — the bin ARGmins are not needed
+    (winning bins are fully rescored outside), which halves the candidate
+    surface's HBM traffic vs the approx kernel."""
+    n_bins = t_tile // _LANES
+
+    def kernel(q_ref, q_aux_ref, tile_ref, t_aux_ref, out_v_ref):
+        qt = q_ref.shape[0]
+        acc = jnp.int32 if q_ref.dtype == jnp.int8 else jnp.float32
+        dots = jax.lax.dot_general(
+            tile_ref[:],
+            q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=acc,
+        )  # [t_tile, qt]
+        d = _epilogue_t(metric, dots, q_aux_ref[:], t_aux_ref[:])
+        out_v_ref[:] = jnp.min(d.reshape(n_bins, _LANES, qt), axis=1)
+
+    return kernel
+
+
+#: extra bins selected beyond k in the exact path — absorbs f32 accumulation-
+#: order epsilons between the kernel's bin minima and the rescore arithmetic
+#: (for i8 the int32 dot is exact on both sides and the slack is free margin)
+_EXACT_BIN_SLACK = 4
+#: query-chunk HBM budget for the rescore gather tensor [chunk, b, 128, D]
+_RESCORE_BUDGET = 128 * 1024 * 1024
+
+
+def _select_bins_exact(bv, b: int, m: int = 4):
+    """EXACT top-b bin selection over [Q, n_bins] minima.
+
+    Fast path: per-lane top-m extraction (staged_topk's stage 1). That hides
+    a true top-b bin only if >m of them share a lane (bin_id % 128). The miss
+    is DETECTED, not assumed away: τ = b-th best survivor; a hidden bin's
+    value is ≥ its lane's m-th extracted value, so if every lane's m-th
+    extracted value is > τ nothing better than the survivors is hidden and
+    the survivor top-b is exact. Otherwise fall back to full `lax.top_k`
+    (compiled but ~never executed; triggers on adversarial layouts/ties)."""
+    n_q, n_bins = bv.shape
+    ids = jnp.broadcast_to(jnp.arange(n_bins, dtype=jnp.int32)[None, :], bv.shape)
+    s = n_bins // 128
+    if n_bins % 128 or s < 2 * m or b > m * 128:
+        neg, sel = jax.lax.top_k(-bv, b)
+        return -neg, jnp.take_along_axis(ids, sel, axis=1)
+
+    d3 = bv.reshape(n_q, s, 128)
+    i3 = ids.reshape(n_q, s, 128)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (n_q, s, 128), 1)
+    vals, idl = [], []
+    for _ in range(m):
+        am = jnp.argmin(d3, axis=1)
+        vals.append(jnp.min(d3, axis=1))
+        idl.append(jnp.take_along_axis(i3, am[:, None, :], axis=1)[:, 0])
+        d3 = jnp.where(sub_iota == am[:, None, :], MASKED, d3)
+    lane_mth = vals[-1]  # [n_q, 128]: worst extracted per lane
+    d_small = jnp.stack(vals, axis=1).reshape(n_q, m * 128)
+    i_small = jnp.stack(idl, axis=1).reshape(n_q, m * 128)
+    neg, sel = jax.lax.top_k(-d_small, b)
+    d_sel = -neg
+    i_sel = jnp.take_along_axis(i_small, sel, axis=1)
+    tau = d_sel[:, -1]  # b-th best survivor per query
+    exact_ok = jnp.all(jnp.min(lane_mth, axis=1) > tau)
+
+    def full(_):
+        negf, self_ = jax.lax.top_k(-bv, b)
+        return -negf, jnp.take_along_axis(ids, self_, axis=1)
+
+    return jax.lax.cond(exact_ok, lambda _: (d_sel, i_sel), full, None)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
+def pallas_search_exact(
+    metric: MetricKind,
+    q: jnp.ndarray,
+    table: jnp.ndarray,
+    stats: jnp.ndarray,
+    valid: jnp.ndarray,
+    k: int,
+    q_tile: int = DEFAULT_Q_TILE,
+    t_tile: int = 4096,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """EXACT fused top-k: binned-minima kernel → top-(k+slack) bins → full
+    rescore of the selected bins' rows.
+
+    Exactness: any row with distance < d_(k) (the true k-th smallest) makes
+    its 128-row bin's minimum < d_(k); a bin outside the top-k bins by
+    minimum therefore holds no top-k row, so rescoring every row of the
+    selected bins recovers the exact result (bin selection itself is
+    miss-detected, see `_select_bins_exact`; the slack absorbs accumulation-
+    order epsilons). Replaces the reference's exact mode
+    (index.hpp:4251-4268 search_exact_ / index_plugins.hpp:2071 exact_search_t)
+    at scan speed instead of sort speed: HBM traffic = one table read + a
+    [N/128, Q] f32 candidate surface + a Q·(k+slack)·128-row block gather.
+    """
+    n, d_width = table.shape
+    n_q = q.shape[0]
+    assert n % t_tile == 0 and n_q % q_tile == 0
+    n_bins = t_tile // _LANES
+    total_bins = n // _LANES
+
+    penalty = jnp.where(valid, 0.0, MASKED).astype(jnp.float32)
+    if metric == MetricKind.IP:
+        t_aux = penalty[None, :]
+        aux_rows = 1
+    else:
+        t_aux = jnp.stack(
+            [stats[:, 0], stats[:, 1], penalty, jnp.zeros_like(penalty)], axis=0
+        )
+        aux_rows = 4
+    qf = q.astype(jnp.float32)
+    q_sq = jnp.sum(qf * qf, axis=1)
+    q_aux = jnp.stack([q_sq, jnp.sum(qf, axis=1)], axis=0)
+
+    kernel = _make_binned_t_min_kernel(metric, t_tile)
+    out_v = pl.pallas_call(
+        kernel,
+        grid=(n_q // q_tile, n // t_tile),
+        in_specs=[
+            pl.BlockSpec((q_tile, d_width), lambda qi, ti: (qi, 0)),
+            pl.BlockSpec((2, q_tile), lambda qi, ti: (0, qi)),
+            pl.BlockSpec((t_tile, d_width), lambda qi, ti: (ti, 0)),
+            pl.BlockSpec((aux_rows, t_tile), lambda qi, ti: (0, ti)),
+        ],
+        out_specs=pl.BlockSpec((n_bins, q_tile), lambda qi, ti: (ti, qi)),
+        out_shape=jax.ShapeDtypeStruct((total_bins, n_q), jnp.float32),
+        interpret=interpret,
+    )(q, q_aux, table, t_aux)
+
+    b = min(k + _EXACT_BIN_SLACK, total_bins)
+    _, bins = _select_bins_exact(out_v.T, b)  # [Q, b] bin ids
+
+    # Rescore all rows of the selected bins exactly, in query chunks sized to
+    # a fixed gather budget (the [chunk, b, 128, D] tensor is the big one).
+    tblk = table.reshape(total_bins, _LANES, d_width)
+    vblk = valid.reshape(total_bins, _LANES)
+    sblk = stats[:, 0].reshape(total_bins, _LANES)
+    row_bytes = d_width * table.dtype.itemsize + 8
+    chunk = int(np.clip(_RESCORE_BUDGET // max(b * _LANES * row_bytes, 1), 8, 512))
+    chunk = min(chunk, n_q)
+    n_chunks = (n_q + chunk - 1) // chunk
+    pad = n_chunks * chunk - n_q
+    if pad:
+        q = jnp.concatenate([q, q[:pad]])
+        q_sq = jnp.concatenate([q_sq, q_sq[:pad]])
+        bins = jnp.concatenate([bins, bins[:pad]])
+
+    q_c = q.reshape(n_chunks, chunk, -1)
+    qs_c = q_sq.reshape(n_chunks, chunk)
+    b_c = bins.reshape(n_chunks, chunk, b)
+    width = b * _LANES
+
+    def one_chunk(args):
+        qc, qsq, bc = args
+        rows = tblk[bc].reshape(chunk, width, d_width)  # block gather
+        ok = vblk[bc].reshape(chunk, width)
+        t_sq = sblk[bc].reshape(chunk, width)
+        bdims = (((1,), (2,)), ((0,), (0,)))
+        if qc.dtype == jnp.int8:
+            d_ = jax.lax.dot_general(qc, rows, bdims, preferred_element_type=jnp.int32)
+        elif qc.dtype == jnp.float32:
+            d_ = jax.lax.dot_general(qc, rows, bdims, precision=jax.lax.Precision.HIGHEST)
+        else:
+            d_ = jax.lax.dot_general(qc, rows, bdims, preferred_element_type=jnp.float32)
+        d_ = d_.astype(jnp.float32)
+        if metric == MetricKind.IP:
+            dist = 1.0 - d_
+        elif metric == MetricKind.Cos:
+            denom = jnp.sqrt(qsq)[:, None] * jnp.sqrt(t_sq)
+            safe_d = jnp.where(denom == 0.0, 1.0, denom)
+            base = 1.0 - d_ / safe_d
+            one_zero = (qsq[:, None] == 0.0) ^ (t_sq == 0.0)
+            both_zero = (qsq[:, None] == 0.0) & (t_sq == 0.0)
+            dist = jnp.where(both_zero, 0.0, jnp.where(one_zero, 1.0, base))
+        else:  # L2sq
+            dist = jnp.maximum(qsq[:, None] + t_sq - 2.0 * d_, 0.0)
+        dist = jnp.where(ok, dist, MASKED)
+        ids = (
+            bc[:, :, None] * _LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (chunk, b, _LANES), 2)
+        ).reshape(chunk, width)
+        # full top_k (width is small): keeps the exact contract airtight —
+        # staged selection here could miss same-lane duplicates
+        neg, sel = jax.lax.top_k(-dist, k)
+        d_out = -neg
+        i_out = jnp.take_along_axis(ids, sel, axis=1)
+        return d_out, jnp.where(d_out >= MASKED / 2, -1, i_out)
+
+    d_all, i_all = jax.lax.map(one_chunk, (q_c, qs_c, b_c))
+    d_out = d_all.reshape(n_chunks * chunk, k)[:n_q]
+    i_out = i_all.reshape(n_chunks * chunk, k)[:n_q]
+    return d_out, i_out.astype(jnp.int32)
 
 
 def supports(metric: MetricKind, kind: ScalarKind) -> bool:
