@@ -49,7 +49,11 @@ if os.environ.get("B100M_CPU") == "1":  # CPU smoke: force platform via config
 import jax.numpy as jnp
 
 from usearch_tpu.enums import MetricKind, ScalarKind
-from usearch_tpu.ivf import _ivf_probe_search_dense, _DENSE_BLOCK
+from usearch_tpu.ivf import (
+    _ivf_probe_search_dense,
+    _ivf_probe_search_dense_pallas,
+    _DENSE_BLOCK,
+)
 from usearch_tpu.kmeans import kmeans_hierarchical
 from usearch_tpu.ops.distances import row_stats
 from usearch_tpu.ops.topk import scan_topk
@@ -334,28 +338,44 @@ def main():
 
     gt_orig = [g for g in gt]  # identity table: positions ARE original ids
 
-    # ---- IVF sweep ----
+    # ---- IVF sweep (B100M_PROBE selects the probe impl: xla|pallas|both) ----
+    probe_mode = os.environ.get("B100M_PROBE", "xla")
+    impls = []
+    if probe_mode in ("xla", "both"):
+        impls.append("xla")
+    if probe_mode in ("pallas", "both"):
+        impls.append("pallas")
+    w_pad = max(((p_win + 127) // 128) * 128, 128)
+
     results = []
     for nprobe in NPROBES:
-        def ivf(q, nprobe=nprobe):
-            return _ivf_probe_search_dense(
-                MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
-                starts_dev, lens_dev, D, k_fetch, nprobe, p_win, _DENSE_BLOCK,
-            )[1]
+        for impl in impls:
+            if impl == "xla":
+                def ivf(q, nprobe=nprobe):
+                    return _ivf_probe_search_dense(
+                        MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
+                        starts_dev, lens_dev, D, k_fetch, nprobe, p_win, _DENSE_BLOCK,
+                    )[1]
+            else:
+                def ivf(q, nprobe=nprobe):
+                    return _ivf_probe_search_dense_pallas(
+                        MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
+                        starts_dev, lens_dev, k_fetch, nprobe, w_pad,
+                    )[1]
 
-        _ = np.asarray(ivf(qsets[0]))  # compile + warm
-        t1 = time.perf_counter()
-        ids1 = np.asarray(ivf(qsets[1]))
-        dt = time.perf_counter() - t1
-        ids2 = np.asarray(ivf(qsets[2]))
-        got = to_orig(np.concatenate([ids1, ids2]))
-        want = np.concatenate(gt_orig[1:])
-        rec = np.mean(
-            [len(set(a.tolist()) & set(b.tolist())) / K for a, b in zip(got, want)]
-        )
-        qps = Q / dt
-        results.append((nprobe, qps, rec))
-        log(f"IVF nprobe={nprobe}: {qps:.0f} QPS, recall@10={rec:.4f}")
+            _ = np.asarray(ivf(qsets[0]))  # compile + warm
+            t1 = time.perf_counter()
+            ids1 = np.asarray(ivf(qsets[1]))
+            dt = time.perf_counter() - t1
+            ids2 = np.asarray(ivf(qsets[2]))
+            got = to_orig(np.concatenate([ids1, ids2]))
+            want = np.concatenate(gt_orig[1:])
+            rec = np.mean(
+                [len(set(a.tolist()) & set(b.tolist())) / K for a, b in zip(got, want)]
+            )
+            qps = Q / dt
+            results.append((nprobe, impl, qps, rec))
+            log(f"IVF nprobe={nprobe} [{impl}]: {qps:.0f} QPS, recall@10={rec:.4f}")
 
     # ---- small-batch latency regime (exact amortization vanishes) ----
     small = []
@@ -384,8 +404,8 @@ def main():
 
     log("SUMMARY 100M x 96d i8, C=%d chunks=%d spill=%.2f" % (ncent, len(starts), SPILL))
     log(f"exact: {Q/exact_dt:.0f} QPS recall 1.0; serving {Q/approx_dt:.0f} QPS recall {arec:.4f}")
-    for nprobe, qps, rec in results:
-        log(f"nprobe={nprobe}: {qps:.0f} QPS recall@10={rec:.4f} ({qps*approx_dt/Q:.1f}x exact-serving)")
+    for nprobe, impl, qps, rec in results:
+        log(f"nprobe={nprobe} [{impl}]: {qps:.0f} QPS recall@10={rec:.4f} ({qps*approx_dt/Q:.1f}x exact-serving)")
 
 
 if __name__ == "__main__":

@@ -245,6 +245,38 @@ def test_ivf_dense_full_probe_equals_exact(rng, metric):
     assert victim not in after.keys
 
 
+@pytest.mark.parametrize("metric", ["l2sq", "ip", "cos"])
+def test_ivf_dense_probe_pallas_matches_xla(rng, metric):
+    """The double-buffered Pallas probe kernel (interpret mode on CPU) must
+    reproduce the XLA dense probe across uneven window lengths, partial
+    nprobe, and live deletions."""
+    from usearch_tpu import exact as ex
+
+    index = Index(ndim=16, metric=metric, dtype="f32")
+    parts = []
+    for n_per in [400, 90, 25, 250, 7, 130, 60, 300]:
+        center = rng.standard_normal(16) * 3
+        parts.append(center + rng.standard_normal((n_per, 16)) * 0.3)
+    X = np.concatenate(parts).astype(np.float32)
+    index.add(np.arange(len(X), dtype=np.uint64), X)
+    index.optimize(n_partitions=8, reorder=True)
+    index.remove(3)
+    index.remove(777)
+
+    Q = X[rng.choice(len(X), 24, replace=False)]
+    for es in (64, 4096):  # partial probe and full coverage
+        index.expansion_search = es
+        xla = index.search(Q, 7)
+        ex.set_kernel_backend("pallas")
+        try:
+            pls = index.search(Q, 7)
+        finally:
+            ex.set_kernel_backend("xla")
+        np.testing.assert_array_equal(pls.keys, xla.keys)
+        np.testing.assert_allclose(pls.distances, xla.distances, rtol=1e-4, atol=1e-4)
+    assert 3 not in pls.keys and 777 not in pls.keys
+
+
 def test_kmeans_fit_n_valid_padding_contract(rng):
     """Pre-padded points (bucketed gather) + n_valid must match fitting the
     unpadded points exactly — padding rows are copies of row 0 and their

@@ -385,6 +385,20 @@ class IVFPartitions:
             self._fresh_cache = (cap, fresh_dev, _fresh_probe_mask(fresh_dev, cap))
         return self._fresh_cache[1], self._fresh_cache[2]
 
+    def _probe_pallas_ok(self, index, q, k: int) -> bool:
+        """Dense-layout probes ride the double-buffered Pallas DMA kernel
+        (ops/pallas_probe.py) when the backend allows it — XLA's gather
+        lowering leaves the block gather ~15× off the DMA roofline."""
+        from .exact import _use_pallas
+        from .ops import pallas_scan
+
+        return (
+            _use_pallas()
+            and k <= 128
+            and q.shape[0] % 8 == 0
+            and pallas_scan.supports(index._metric_kind, index._dtype)
+        )
+
     def nprobe_for(self, expansion_search: int, connectivity: int = 16) -> int:
         budget = max(expansion_search, 1) * max(connectivity, 1)
         c, _ = self._shape()
@@ -429,6 +443,22 @@ class IVFPartitions:
 
     def _search_built(self, index, q, valid, k: int, nprobe: int):
         if self.inplace_shape is not None:
+            if self._probe_pallas_ok(index, q, k):
+                w_pad = max(((self.p_win + 127) // 128) * 128, 128)
+                return _ivf_probe_search_dense_pallas(
+                    index._metric_kind,
+                    index._dtype,
+                    q,
+                    valid,
+                    self.centroids,
+                    index._table,
+                    index._stats,
+                    self.starts,
+                    self.lens,
+                    k,
+                    nprobe,
+                    w_pad,
+                )
             return _ivf_probe_search_dense(
                 index._metric_kind,
                 index._dtype,
@@ -673,6 +703,61 @@ def _score_centroids(metric, qf, centroids, lens=None):
     if lens is not None:
         cdist = cdist + jnp.where(lens == 0, MASKED, 0.0)[None, :]
     return cdist
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 9, 10, 11))
+def _ivf_probe_search_dense_pallas(
+    metric: MetricKind,
+    kind: ScalarKind,
+    q,                # [Q, D] storage dtype, Q % 8 == 0
+    valid,            # [cap2] bool (composed: deletions ∧ filter ∧ fresh)
+    centroids,        # [C, D] f32
+    table,            # [cap2, D] dense cluster-major
+    stats,            # [cap2, 2] f32
+    starts,           # [C] i32
+    lens,             # [C] i32
+    k: int,
+    nprobe: int,
+    w_pad: int,
+):
+    """Dense-layout probe through the double-buffered Pallas DMA kernel:
+    centroid scoring + probe selection stay XLA; each (query, probe) window
+    streams HBM→VMEM as ONE contiguous DMA inside the kernel."""
+    from .ops.pallas_probe import pallas_ivf_probe
+
+    cap2 = table.shape[0]
+    qf = q.astype(jnp.float32)
+    cdist = _score_centroids(metric, qf, centroids, lens)  # empties rank last
+    _, probes = jax.lax.top_k(-cdist, nprobe)              # [Q, nprobe]
+    st = starts[probes]
+    ln = lens[probes]
+    st_c = jnp.minimum(st, cap2 - w_pad)                   # clamped DMA starts
+    offs = st - st_c
+    penalty = jnp.where(valid, 0.0, MASKED).astype(jnp.float32)
+    if metric == MetricKind.IP:
+        t_aux = penalty[None, :]
+    else:
+        t_aux = jnp.stack(
+            [stats[:, 0], stats[:, 1], penalty, jnp.zeros_like(penalty)], axis=0
+        )
+    # candidates per bin per window: 2 suffices when the probe surface is
+    # wide (collisions need 3+ of the top-k in one 128-row bin); small
+    # probe surfaces (toy tables / tiny nprobe) get exact-in-window k
+    bin_m = 2 if nprobe * (w_pad // 128) >= 8 * k else k
+    return pallas_ivf_probe(
+        metric,
+        q,
+        table,
+        t_aux,
+        st_c.astype(jnp.int32),
+        offs.astype(jnp.int32),
+        ln.astype(jnp.int32),
+        k,
+        nprobe,
+        w_pad,
+        bin_m,
+        jax.default_backend() == "cpu",
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 9, 10, 11, 12, 13))

@@ -24,6 +24,13 @@ from .packbits import pack_bits_np, unpack_bits_np
 
 import functools
 
+try:  # native C++ casts (g++-built): this image's numpy runs elementwise
+    # f32 at ~30 Melem/s and the XLA:CPU fallback can stall under the axon
+    # plugin — the i8 quantize was the Index.add ingest bottleneck
+    from ..native import casts_native as _native
+except Exception:  # pragma: no cover - no compiler in some environments
+    _native = None
+
 
 def _i8_quantize(x, xp):
     """ONE i8 quantizer body shared by the numpy fallback, the XLA:CPU jit
@@ -57,6 +64,8 @@ def _jax_cpu_i8_cast():
 
 def cast_to_i8_np(values: np.ndarray) -> np.ndarray:
     values = np.asarray(values)
+    if _native is not None:
+        return _native.cast_f32_to_i8(values)
     if values.size >= 1 << 16:
         try:
             return np.asarray(_jax_cpu_i8_cast()(values.astype(np.float32)))
@@ -66,6 +75,8 @@ def cast_to_i8_np(values: np.ndarray) -> np.ndarray:
 
 
 def cast_from_i8_np(values: np.ndarray, out_dtype=np.float32) -> np.ndarray:
+    if _native is not None and np.dtype(out_dtype) == np.float32:
+        return _native.cast_i8_to_f32(values)
     return (values.astype(np.float32) / 127.0).astype(out_dtype)
 
 

@@ -1,0 +1,265 @@
+"""Pallas double-buffered IVF probe kernel.
+
+The IVF probe's inner move — "gather this query's nprobe partition windows
+and score them" — is a bandwidth problem: each window is a CONTIGUOUS run of
+rows in the dense cluster-major table (ivf.py build_inplace), but XLA's
+gather lowering never issues wide DMAs for it (measured ~15× off the DMA
+roofline: ~25 ms real vs ~1.6 ms of traffic at nprobe=4 on 100M rows).
+
+This kernel streams each window with an explicit `make_async_copy` HBM→VMEM
+DMA, double-buffered against the window's compute, exactly the engine the
+reference reaches for with its `prefetch` hook (reference:
+include/usearch/index.hpp:1506-1524, 3971-3987) and its beam-search inner
+loop (index.hpp:4175-4246) — re-imagined as: one window = one DMA = one
+MXU matvec + VPU top-k fold.
+
+Structure per grid cell (q_sub queries):
+- starts/offs/lens [q_sub, nprobe] arrive as SMEM blocks → DMA addresses;
+- loop over q_sub·nprobe windows: DMA window rows [W, D] (+ aux [a, W]),
+  dot [W, D]×[D, q_sub] on the MXU (all cell queries share the matmul — the
+  non-owning lanes are masked before the fold, costing nothing: the MXU
+  processes ≤128 output columns in one pass either way);
+- fold top-bin_m per 128-row bin into a per-lane (per-query) running top-k
+  kept in a VMEM scratch accumulator [KPAD, q_sub] (lanes are queries, so
+  the fold is lane-independent — no transposes, no cross-lane traffic);
+- one [k, q_sub]→[q_sub, k] transpose per cell writes the output block
+  (block specs need lane dims of 128 or full-array, which [n_q, KPAD]
+  blocks satisfy and [KPAD, q_sub] blocks would not).
+
+Returned ids are GLOBAL table row positions (the dense layout's positions
+ARE slots).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..enums import MetricKind, ScalarKind
+from .distances import MASKED
+from .pallas_scan import _LANES
+
+#: queries per grid cell; SMEM per cell = 3 · q_sub · nprobe · 4 B
+_Q_SUB = 8
+#: top-k accumulator depth (sublane dimension of the scratch accumulator)
+_KPAD = 128
+
+
+def _window_dists(metric: MetricKind, dots, q_sq, t_aux_w):
+    """dots [W, q_sub] + q_sq [q_sub] + window aux [aux_rows, W] → f32
+    distances [W, q_sub] with the deleted-row penalty folded in."""
+    dots = dots.astype(jnp.float32)
+    if t_aux_w.shape[0] == 1:  # lean IP aux: penalty row only
+        t_sq = None
+        penalty = t_aux_w[0, :][:, None]
+    else:
+        t_sq = t_aux_w[0, :][:, None]
+        penalty = t_aux_w[2, :][:, None]
+    qs = q_sq[None, :]
+    if metric == MetricKind.IP:
+        d = 1.0 - dots
+    elif metric == MetricKind.Cos:
+        denom = jnp.sqrt(qs) * jnp.sqrt(t_sq)
+        safe = jnp.where(denom == 0.0, 1.0, denom)
+        base = 1.0 - dots / safe
+        one_zero = (qs == 0.0) ^ (t_sq == 0.0)
+        both_zero = (qs == 0.0) & (t_sq == 0.0)
+        d = jnp.where(both_zero, 0.0, jnp.where(one_zero, 1.0, base))
+    elif metric == MetricKind.L2sq:
+        d = jnp.maximum(qs + t_sq - 2.0 * dots, 0.0)
+    else:
+        raise ValueError(f"probe kernel supports ip/cos/l2sq, got {metric}")
+    return d + penalty
+
+
+def _make_probe_kernel(
+    metric: MetricKind, k: int, nprobe: int, w_pad: int, q_sub: int, bin_m: int
+):
+    nb_w = w_pad // _LANES
+
+    def kernel(
+        st_ref,      # [q_sub, nprobe] i32 SMEM — clamped window starts
+        off_ref,     # [q_sub, nprobe] i32 SMEM — window offset inside the DMA
+        len_ref,     # [q_sub, nprobe] i32 SMEM — window length
+        q_ref,       # [q_sub, D] VMEM
+        q_aux_ref,   # [q_sub, 2] VMEM f32 (q_sq, q_sum)
+        table_ref,   # [cap2, D] HBM
+        t_aux_ref,   # [aux_rows, cap2] HBM f32
+        out_d_ref,   # [q_sub, KPAD] f32
+        out_i_ref,   # [q_sub, KPAD] i32
+        wbuf,        # [2, w_pad, D] VMEM scratch
+        abuf,        # [2, aux_rows, w_pad] VMEM f32 scratch
+        acc_d,       # [KPAD, q_sub] f32 scratch — running top-k (lane=query)
+        acc_i,       # [KPAD, q_sub] i32 scratch
+        sems,        # [2, 2] DMA semaphores
+    ):
+        n_win = q_sub * nprobe
+        acc_t = jnp.int32 if q_ref.dtype == jnp.int8 else jnp.float32
+
+        def win_dma(slot, widx):
+            s = st_ref[widx // nprobe, jax.lax.rem(widx, nprobe)]
+            return pltpu.make_async_copy(
+                table_ref.at[pl.ds(s, w_pad), :], wbuf.at[slot], sems.at[slot, 0]
+            )
+
+        def aux_dma(slot, widx):
+            s = st_ref[widx // nprobe, jax.lax.rem(widx, nprobe)]
+            return pltpu.make_async_copy(
+                t_aux_ref.at[:, pl.ds(s, w_pad)], abuf.at[slot], sems.at[slot, 1]
+            )
+
+        win_dma(0, 0).start()
+        aux_dma(0, 0).start()
+        acc_d[:] = jnp.full_like(acc_d, MASKED)
+        acc_i[:] = jnp.full_like(acc_i, -1)
+        q_sq = q_aux_ref[:, 0]
+
+        def body(widx, _):
+            slot = jax.lax.rem(widx, 2)
+            nxt = jax.lax.rem(widx + 1, 2)
+
+            @pl.when(widx + 1 < n_win)
+            def _prefetch():
+                win_dma(nxt, widx + 1).start()
+                aux_dma(nxt, widx + 1).start()
+
+            win_dma(slot, widx).wait()
+            aux_dma(slot, widx).wait()
+
+            qi = widx // nprobe
+            pj = jax.lax.rem(widx, nprobe)
+            s = st_ref[qi, pj]
+            off = off_ref[qi, pj]
+            ln = len_ref[qi, pj]
+
+            dots = jax.lax.dot_general(
+                wbuf[slot],
+                q_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=acc_t,
+            )  # [w_pad, q_sub]
+            d = _window_dists(metric, dots, q_sq, abuf[slot])
+
+            # mask: rows inside [off, off+len) AND the owning query's lane
+            r = jax.lax.broadcasted_iota(jnp.int32, (w_pad, q_sub), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (w_pad, q_sub), 1)
+            keep = (r >= off) & (r < off + ln) & (lane == qi)
+            d = jnp.where(keep, d, MASKED)
+
+            # top-bin_m per 128-row bin (sublane extraction after a free
+            # major split). bin_m=2 makes per-window same-bin collisions a
+            # third-order event (needs 3+ of the true top-k in one bin);
+            # bin_m=k is exact within the window.
+            d3 = d.reshape(nb_w, _LANES, q_sub)
+            sub3 = jax.lax.broadcasted_iota(jnp.int32, (nb_w, _LANES, q_sub), 1)
+            base = jax.lax.broadcasted_iota(jnp.int32, (nb_w, q_sub), 0) * _LANES
+            bds = []
+            bis = []
+            for _i in range(bin_m):
+                mn = jnp.min(d3, axis=1)                               # [nb_w, q_sub]
+                am = jnp.argmin(d3, axis=1).astype(jnp.int32)
+                bds.append(mn)
+                bis.append(s + base + am)
+                if _i + 1 < bin_m:
+                    d3 = jnp.where(sub3 == am[:, None, :], MASKED, d3)
+            bin_d = jnp.concatenate(bds, axis=0)                       # [bin_m·nb_w, q_sub]
+            bin_i = jnp.concatenate(bis, axis=0)
+
+            # fold into the running per-lane top-k (k min-extraction passes)
+            cand_d = jnp.concatenate([acc_d[:k, :], bin_d], axis=0)
+            cand_i = jnp.concatenate([acc_i[:k, :], bin_i], axis=0)
+            rows = cand_d.shape[0]
+            sub_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, q_sub), 0)
+            sel_d = []
+            sel_i = []
+            for _j in range(k):
+                m = jnp.min(cand_d, axis=0)                            # [q_sub]
+                am2 = jnp.argmin(cand_d, axis=0)                       # [q_sub]
+                onehot = sub_iota == am2[None, :]
+                iv = jnp.sum(jnp.where(onehot, cand_i, 0), axis=0)
+                sel_d.append(m)
+                sel_i.append(iv)
+                cand_d = jnp.where(onehot, MASKED, cand_d)
+            acc_d[:k, :] = jnp.stack(sel_d, axis=0)
+            acc_i[:k, :] = jnp.stack(sel_i, axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, n_win, body, 0)
+        # one transpose per cell: [KPAD, q_sub] scratch → [q_sub, KPAD] block
+        out_d_ref[:] = acc_d[:].T
+        out_i_ref[:] = acc_i[:].T
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11))
+def pallas_ivf_probe(
+    metric: MetricKind,
+    q: jnp.ndarray,          # [Q, D] storage dtype; Q % q_sub == 0
+    table: jnp.ndarray,      # [cap2, D] dense cluster-major
+    t_aux: jnp.ndarray,      # [aux_rows, cap2] f32 (stats + penalty rows)
+    starts_c: jnp.ndarray,   # [Q, nprobe] i32 clamped DMA starts
+    offs: jnp.ndarray,       # [Q, nprobe] i32 window offset inside the DMA
+    lens: jnp.ndarray,       # [Q, nprobe] i32 window lengths
+    k: int,
+    nprobe: int,
+    w_pad: int,              # static DMA window rows (multiple of 128)
+    bin_m: int = 2,          # candidates kept per 128-row bin per window
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Probe-scan `nprobe` dense windows per query; returns
+    (dists [Q, k] f32 ascending, global row ids [Q, k] i32, -1 = none)."""
+    n_q, d_width = q.shape
+    cap2 = table.shape[0]
+    aux_rows = t_aux.shape[0]
+    q_sub = _Q_SUB
+    assert n_q % q_sub == 0, (n_q, q_sub)
+    assert w_pad % _LANES == 0 and cap2 >= w_pad
+    assert k <= _KPAD
+
+    qf = q.astype(jnp.float32)
+    q_aux = jnp.stack([jnp.sum(qf * qf, axis=1), jnp.sum(qf, axis=1)], axis=1)
+
+    kernel = _make_probe_kernel(metric, k, nprobe, w_pad, q_sub, min(bin_m, k))
+    grid = (n_q // q_sub,)
+
+    out_d, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q_sub, nprobe), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((q_sub, nprobe), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((q_sub, nprobe), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((q_sub, d_width), lambda i: (i, 0)),
+            pl.BlockSpec((q_sub, 2), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),   # table stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # t_aux stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((q_sub, _KPAD), lambda i: (i, 0)),
+            pl.BlockSpec((q_sub, _KPAD), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_q, _KPAD), jnp.float32),
+            jax.ShapeDtypeStruct((n_q, _KPAD), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, w_pad, d_width), table.dtype),
+            pltpu.VMEM((2, aux_rows, w_pad), jnp.float32),
+            pltpu.VMEM((_KPAD, q_sub), jnp.float32),
+            pltpu.VMEM((_KPAD, q_sub), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(starts_c, offs, lens, q, q_aux, table, t_aux)
+
+    d_out = out_d[:, :k]
+    i_out = out_i[:, :k]
+    i_out = jnp.where(d_out >= MASKED / 2, -1, i_out)
+    return d_out, i_out
