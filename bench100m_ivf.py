@@ -345,7 +345,8 @@ def main():
         impls.append("xla")
     if probe_mode in ("pallas", "both"):
         impls.append("pallas")
-    w_pad = max(((p_win + 127) // 128) * 128, 128)
+    # +128: the pallas probe aligns DMA starts down to 128 rows
+    w_pad = max(((p_win + 127) // 128) * 128 + 128, 256)
 
     results = []
     for nprobe in NPROBES:

@@ -443,8 +443,10 @@ class IVFPartitions:
 
     def _search_built(self, index, q, valid, k: int, nprobe: int):
         if self.inplace_shape is not None:
-            if self._probe_pallas_ok(index, q, k):
-                w_pad = max(((self.p_win + 127) // 128) * 128, 128)
+            # +128: window starts are aligned DOWN to 128 rows for the
+            # DMA, so the padded window must cover p_win + the shift
+            w_pad = max(((self.p_win + 127) // 128) * 128 + 128, 256)
+            if w_pad <= int(index._capacity) and self._probe_pallas_ok(index, q, k):
                 return _ivf_probe_search_dense_pallas(
                     index._metric_kind,
                     index._dtype,
@@ -731,7 +733,12 @@ def _ivf_probe_search_dense_pallas(
     _, probes = jax.lax.top_k(-cdist, nprobe)              # [Q, nprobe]
     st = starts[probes]
     ln = lens[probes]
-    st_c = jnp.minimum(st, cap2 - w_pad)                   # clamped DMA starts
+    # DMA starts must be 128-row aligned: Mosaic requires dynamic slice
+    # indices provably divisible by the memref tiling (sublane tiling for
+    # the table rows, 128-lane tiling for the [aux, N] slice). The window
+    # mask absorbs the shift via `offs`; w_pad carries the extra 128 rows.
+    st_al = (st // 128) * 128
+    st_c = jnp.minimum(st_al, cap2 - w_pad)                # clamped DMA starts
     offs = st - st_c
     penalty = jnp.where(valid, 0.0, MASKED).astype(jnp.float32)
     if metric == MetricKind.IP:

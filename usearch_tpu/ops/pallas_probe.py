@@ -103,13 +103,15 @@ def _make_probe_kernel(
         acc_t = jnp.int32 if q_ref.dtype == jnp.int8 else jnp.float32
 
         def win_dma(slot, widx):
-            s = st_ref[widx // nprobe, jax.lax.rem(widx, nprobe)]
+            # starts are pre-aligned to 128 rows (ivf.py); the hint lets
+            # Mosaic prove divisibility by the HBM memref tiling
+            s = pl.multiple_of(st_ref[widx // nprobe, jax.lax.rem(widx, nprobe)], 128)
             return pltpu.make_async_copy(
                 table_ref.at[pl.ds(s, w_pad), :], wbuf.at[slot], sems.at[slot, 0]
             )
 
         def aux_dma(slot, widx):
-            s = st_ref[widx // nprobe, jax.lax.rem(widx, nprobe)]
+            s = pl.multiple_of(st_ref[widx // nprobe, jax.lax.rem(widx, nprobe)], 128)
             return pltpu.make_async_copy(
                 t_aux_ref.at[:, pl.ds(s, w_pad)], abuf.at[slot], sems.at[slot, 1]
             )
