@@ -155,3 +155,88 @@ def test_inplace_ivf_persists_through_removals(rng):
     after = restored.search(vecs[:32], 10)
     np.testing.assert_array_equal(before.keys, after.keys)
     np.testing.assert_allclose(before.distances, after.distances, atol=1e-5)
+
+
+def test_streamed_view_serves_like_loaded(rng, tmp_path):
+    """view(stream=True): table stays HOST-resident (mmap) and searches
+    stream it through the device in tiles — results must match the fully
+    loaded index (the reference's larger-than-RAM mmap serving,
+    index.hpp:1723-1853 / README §Serialization)."""
+    import usearch_tpu.stream as stream_mod
+    from usearch_tpu import Index
+
+    path = str(tmp_path / "big.usearch")
+    index = Index(ndim=16, metric="l2sq", dtype="f32")
+    X = rng.standard_normal((700, 16)).astype(np.float32)
+    index.add(np.arange(700, dtype=np.uint64) + 10, X)
+    index.save(path)
+
+    loaded = Index.restore(path)
+    viewed = Index.restore(path, view=True, stream=True)
+    assert viewed._streamed and viewed._table is None
+    assert len(viewed) == 700
+
+    # force several tiles so the double-buffered merge path is exercised
+    old_tile = stream_mod.DEFAULT_TILE_ROWS
+    stream_mod.DEFAULT_TILE_ROWS = 256
+    try:
+        q = X[rng.choice(700, 9, replace=False)]
+        a = loaded.search(q, 5, exact=True)
+        b = viewed.search(q, 5)
+        np.testing.assert_array_equal(a.keys, b.keys)
+        np.testing.assert_allclose(a.distances, b.distances, rtol=1e-5, atol=1e-5)
+
+        # filters work against the host-resident table
+        fa = loaded.search(q[0], 5, exact=True, filter=lambda keys: keys % 2 == 0)
+        fb = viewed.search(q[0], 5, filter=lambda keys: keys % 2 == 0)
+        np.testing.assert_array_equal(fa.keys, fb.keys)
+
+        # get decodes straight from the mmap
+        np.testing.assert_allclose(viewed.get(10), X[0], atol=1e-6)
+        assert viewed.contains(11) and not viewed.contains(9999)
+    finally:
+        stream_mod.DEFAULT_TILE_ROWS = old_tile
+
+    # immutability (the reference's is_immutable contract for views)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        viewed.add(np.array([9999]), X[:1])
+    with _pytest.raises(RuntimeError):
+        viewed.remove(10)
+
+
+def test_streamed_view_i8_and_binary(rng, tmp_path):
+    """Streamed serving across quantized storage kinds."""
+    import usearch_tpu.stream as stream_mod
+    from usearch_tpu import Index
+
+    old_tile = stream_mod.DEFAULT_TILE_ROWS
+    stream_mod.DEFAULT_TILE_ROWS = 128
+    try:
+        # i8 cosine
+        p = str(tmp_path / "i8.usearch")
+        ix = Index(ndim=32, metric="cos", dtype="i8")
+        X = rng.standard_normal((400, 32)).astype(np.float32)
+        ix.add(np.arange(400), X)
+        ix.save(p)
+        loaded = Index.restore(p)
+        viewed = Index.restore(p, view=True, stream=True)
+        q = X[:4]
+        a = loaded.search(q, 3, exact=True)
+        b = viewed.search(q, 3)
+        np.testing.assert_array_equal(a.keys, b.keys)
+
+        # b1 hamming (packed-byte rows stream as-is)
+        p2 = str(tmp_path / "b1.usearch")
+        ix2 = Index(ndim=256, metric="hamming")
+        bits = (rng.random((300, 256)) > 0.5).astype(np.float32)
+        ix2.add(np.arange(300), bits)
+        ix2.save(p2)
+        l2 = Index.restore(p2)
+        v2 = Index.restore(p2, view=True, stream=True)
+        qb = np.packbits((bits[:3] > 0).astype(np.uint8), axis=-1, bitorder="big")
+        a2 = l2.search(qb, 3, exact=True)
+        b2 = v2.search(qb, 3)
+        np.testing.assert_array_equal(a2.keys[:, 0], b2.keys[:, 0])
+    finally:
+        stream_mod.DEFAULT_TILE_ROWS = old_tile

@@ -293,6 +293,8 @@ class Index:
             self._rwlock = _RWLock()
         self._path = None
         self._viewed = False
+        self._streamed = False
+        self._host_rows = None  # streamed view: mmap'd stored rows [N, elems]
         self._ivf = None  # lazily-built partitioned scan (ivf.IVFPartitions)
         self._ivf_dirty = True
 
@@ -840,7 +842,32 @@ class Index:
             return np.stack(results)
         return tuple(results)
 
+    def _bulk_install_streamed(self, keys: np.ndarray, rows: np.ndarray) -> None:
+        """Streamed view install: the table stays HOST-resident (mmap) and
+        only the key machinery is built. Searches stream tiles (stream.py)."""
+        count = len(keys)
+        self._streamed = True
+        self._host_rows = rows  # stored repr, logical (unpadded) width
+        self._capacity = count
+        self._slot_keys = np.asarray(keys, dtype=np.uint64).copy()
+        slots = np.arange(count, dtype=np.uint64)
+        self._keymap.insert_many(self._slot_keys, slots)
+        self._next_slot = count
+        self._count = count
+        self._free_slots = []
+        self._ivf_dirty = True
+
     def _fetch_slots(self, slots: np.ndarray, out_kind: ScalarKind) -> np.ndarray:
+        if self._streamed:
+            rows = np.asarray(self._host_rows[slots])
+            if self._is_set_index:
+                return rows[:, : self._ndim]
+            if self._dtype == ScalarKind.B1:
+                packed = rows.astype(np.uint8)
+                if out_kind == ScalarKind.B1:
+                    return packed
+                return unpack_bits_np(packed, self._ndim).astype(to_numpy_dtype(out_kind))
+            return cast_vectors(rows, self._dtype, out_kind, self._ndim)
         if self._is_set_index:
             rows = np.asarray(_gather_rows(self._table, jnp.asarray(slots)))
             return rows[:, : self._ndim]
@@ -946,6 +973,8 @@ class Index:
         self._count = 0
         self._host_f64 = None
         self._viewed = False
+        self._streamed = False
+        self._host_rows = None
         self._ivf = None
         self._ivf_dirty = True
 
@@ -1062,7 +1091,7 @@ class Index:
         if dev_q is None and not isinstance(vectors, np.ndarray):
             vectors = np.asarray(vectors)
         single = vectors.ndim == 1
-        if self._count == 0 or self._table is None:
+        if self._count == 0 or (self._table is None and not self._streamed):
             if single:
                 return Matches(keys=np.zeros(0, np.uint64), distances=np.zeros(0, np.float32))
             nq = vectors.shape[0]
@@ -1078,6 +1107,16 @@ class Index:
             q_rows = self._prepare_batch(vectors)
         n_q = vectors.shape[0] if not single else 1
         k = min(int(count), self._count)
+
+        if self._streamed:
+            # host-resident (mmap'd) table larger than HBM: stream tiles
+            # through the device (stream.py); always an exact scan
+            if dev_q is not None:
+                q_rows = self._prepare_batch(np.asarray(dev_q))
+            d, slots = self._streamed_topk(q_rows, k, filter)
+            return self._finish_search(
+                d, slots, n_q, single, radius, self._count, progress
+            )
 
         # _filter_mask returns the mask ALREADY composed with self._valid and
         # cached on (filter, version): repeat searches with the same filter
@@ -1106,8 +1145,11 @@ class Index:
             and self._count >= 131072
         )
         d, slots, scanned = self._search_prepared(q_rows, k, valid, use_ivf, approx)
-
         d, slots = jax.device_get((d, slots))  # ONE host round trip
+        return self._finish_search(d, slots, n_q, single, radius, scanned, progress)
+
+    def _finish_search(self, d, slots, n_q, single, radius, scanned, progress):
+        """Map slot results to keys and wrap as Matches/BatchMatches."""
         d = d[:n_q]
         slots = slots[:n_q]
         self._computed_distances += int(scanned) * n_q
@@ -1135,6 +1177,48 @@ class Index:
             counts=counts,
             visited_members=int(scanned) * n_q,
             computed_distances=int(scanned) * n_q,
+        )
+
+    def _streamed_topk(self, q_rows: np.ndarray, k: int, filter):
+        """Exact top-k against the host-resident streamed table."""
+        from .stream import streamed_search
+
+        host_valid = None
+        if filter is not None:
+            keys_live = self._slot_keys[: self._count]
+            if callable(filter):
+                try:
+                    out = np.asarray(filter(keys_live))
+                    if out.shape != keys_live.shape or out.dtype == object:
+                        raise TypeError
+                    host_valid = out.astype(bool)
+                except Exception:
+                    host_valid = np.fromiter(
+                        (bool(filter(int(kk))) for kk in keys_live),
+                        dtype=bool,
+                        count=len(keys_live),
+                    )
+            else:
+                host_valid = np.isin(keys_live, np.asarray(filter, dtype=np.uint64))
+        kind = ScalarKind.F32 if self._is_set_index else self._dtype
+        n_q = q_rows.shape[0]
+        q_pad = pad_queries(n_q)  # pow2 buckets bound tile-step recompiles
+        if q_pad > n_q:
+            pad_value = -1 if self._is_set_index else 0
+            q_rows = np.concatenate(
+                [q_rows, np.full((q_pad - n_q, q_rows.shape[1]), pad_value, dtype=q_rows.dtype)]
+            )
+        return streamed_search(
+            self._metric_kind,
+            kind,
+            q_rows,
+            self._host_rows,
+            self._width,
+            self._np_dtype,
+            self._ndim,
+            k,
+            metric_fn=self._metric_fn,
+            host_valid=host_valid,
         )
 
     def _filter_mask(self, filter) -> jnp.ndarray:
@@ -1372,15 +1456,26 @@ class Index:
             self._path = str(path_or_buffer)
 
     @_mutates
-    def view(self, path_or_buffer=None, progress=None):
+    def view(self, path_or_buffer=None, progress=None, stream: Optional[bool] = None):
+        """Serve from an mmap'd file (immutable, the reference's `view`,
+        index.hpp:3504-3572).
+
+        ``stream=True`` keeps the table HOST-resident and streams it through
+        the device in double-buffered tiles per search (stream.py) — a table
+        larger than one chip's HBM serves on one chip, the reference's
+        from-disk serving economics (README §Serialization "20x cost
+        reduction"). ``stream=None`` auto-streams when the table exceeds
+        ~60% of the device's memory (when discoverable)."""
         from .persist import load_index_from_buffer, load_index_into
 
         if path_or_buffer is None:
             path_or_buffer = self._path
         if isinstance(path_or_buffer, (bytes, bytearray, memoryview)):
+            if stream:
+                raise ValueError("streamed view needs a file path (mmap), not a buffer")
             load_index_from_buffer(self, path_or_buffer)
         else:
-            load_index_into(self, str(path_or_buffer), view=True)
+            load_index_into(self, str(path_or_buffer), view=True, stream=stream)
             self._path = str(path_or_buffer)
         self._viewed = True
 
@@ -1394,7 +1489,9 @@ class Index:
             return None
 
     @staticmethod
-    def restore(path_or_buffer, view: bool = False, **kwargs) -> Optional["Index"]:
+    def restore(
+        path_or_buffer, view: bool = False, stream: Optional[bool] = None, **kwargs
+    ) -> Optional["Index"]:
         from .persist import index_metadata
 
         meta = Index.metadata(path_or_buffer)
@@ -1408,7 +1505,7 @@ class Index:
             **kwargs,
         )
         if view:
-            index.view(path_or_buffer)
+            index.view(path_or_buffer, stream=stream)
         else:
             index.load(path_or_buffer)
         return index

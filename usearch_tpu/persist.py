@@ -265,10 +265,48 @@ def _rows_from_bytes(buf, offset: int, meta: dict) -> np.ndarray:
     return arr.reshape(count, per_row)
 
 
-def load_index_into(index, path: str, view: bool = False) -> None:
+def _device_memory_budget() -> int:
+    """Best-effort device memory in bytes (0 when undiscoverable)."""
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats()
+        return int(stats.get("bytes_limit") or stats.get("bytes_reservable_limit") or 0)
+    except Exception:
+        return 0
+
+
+def load_index_into(index, path: str, view: bool = False, stream=None) -> None:
     meta, keys, rows = _load_arrays(path, view)
+    if view and stream is None:
+        # auto-stream: a table above ~60% of HBM can't serve beside the
+        # search working set — keep it host-resident (the reference's mmap
+        # serving, index.hpp:1723-1853)
+        budget = _device_memory_budget()
+        stream = bool(budget) and rows.nbytes > 0.6 * budget
+    if meta["dtype"] == "f64" and not meta.get("set_index"):
+        stream = False  # f64 rows serve from the regular (f32-on-device) path
+    if view and stream:
+        _populate_streamed(index, meta, keys, rows)
+        return
     _populate(index, meta, keys, rows)
     _restore_ivf(index, meta, path, rows)
+
+
+def _populate_streamed(index, meta: dict, keys: np.ndarray, rows: np.ndarray) -> None:
+    """Streamed view: config + key machinery only; the row matrix stays an
+    mmap on host and searches stream it through HBM (stream.py)."""
+    index.reset()
+    index.__init__(
+        ndim=meta["ndim"],
+        metric=meta["metric"],
+        dtype=None if meta.get("set_index") else meta["dtype"],
+        connectivity=meta.get("connectivity", index._connectivity),
+        expansion_add=meta.get("expansion_add", index._expansion_add),
+        expansion_search=meta.get("expansion_search", index._expansion_search),
+        multi=bool(meta.get("multi", False)),
+    )
+    index._bulk_install_streamed(np.asarray(keys, dtype=np.uint64), rows)
 
 
 def load_index_from_buffer(index, buffer) -> None:
