@@ -51,6 +51,7 @@ import jax.numpy as jnp
 from usearch_tpu.enums import MetricKind, ScalarKind
 from usearch_tpu.ivf import (
     _ivf_probe_search_dense,
+    _ivf_probe_search_dense_grouped,
     _ivf_probe_search_dense_pallas,
     _DENSE_BLOCK,
 )
@@ -341,10 +342,12 @@ def main():
     # ---- IVF sweep (B100M_PROBE selects the probe impl: xla|pallas|both) ----
     probe_mode = os.environ.get("B100M_PROBE", "xla")
     impls = []
-    if probe_mode in ("xla", "both"):
+    if probe_mode in ("xla", "both", "all"):
         impls.append("xla")
-    if probe_mode in ("pallas", "both"):
+    if probe_mode in ("pallas", "both", "all"):
         impls.append("pallas")
+    if probe_mode in ("group", "all"):
+        impls.append("group")
     # +128: the pallas probe aligns DMA starts down to 128 rows
     w_pad = max(((p_win + 127) // 128) * 128 + 128, 256)
 
@@ -357,9 +360,15 @@ def main():
                         MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
                         starts_dev, lens_dev, D, k_fetch, nprobe, p_win, _DENSE_BLOCK,
                     )[1]
-            else:
+            elif impl == "pallas":
                 def ivf(q, nprobe=nprobe):
                     return _ivf_probe_search_dense_pallas(
+                        MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
+                        starts_dev, lens_dev, k_fetch, nprobe, w_pad,
+                    )[1]
+            else:
+                def ivf(q, nprobe=nprobe):
+                    return _ivf_probe_search_dense_grouped(
                         MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
                         starts_dev, lens_dev, k_fetch, nprobe, w_pad,
                     )[1]

@@ -451,9 +451,14 @@ char const* usearch_hardware_acceleration(usearch_index_t index, usearch_error_t
     PyObject* r = call_helper(error, "hardware", "(K)", HANDLE);
     if (!r)
         return "unknown";
+    // call_helper released the GIL; re-take it for the PyObject accesses
+    // (ctypes callers invoke foreign functions with the GIL dropped — the
+    // C-binary path only worked because its main thread retained the GIL)
+    PyGILState_STATE gil = PyGILState_Ensure();
     char const* s = PyUnicode_AsUTF8(r);
     std::snprintf(hw, sizeof(hw), "%s", s ? s : "unknown");
     Py_DECREF(r);
+    PyGILState_Release(gil);
     return hw;
 }
 
@@ -482,8 +487,10 @@ void usearch_metadata(char const* path, usearch_init_options_t* options, usearch
     PyObject* r = call_helper(error, "metadata", "(s)", path);
     if (!r)
         return;
+    PyGILState_STATE gil = PyGILState_Ensure();  // PyObject use needs the GIL
     if (!options) {  // validation-only call: don't leak the result tuple
         Py_DECREF(r);
+        PyGILState_Release(gil);
         return;
     }
     unsigned long long metric = 0, scalar = 0, dims = 0, multi = 0;
@@ -496,6 +503,7 @@ void usearch_metadata(char const* path, usearch_init_options_t* options, usearch
         capture_error(error);
     }
     Py_DECREF(r);
+    PyGILState_Release(gil);
 }
 
 size_t usearch_size(usearch_index_t index, usearch_error_t* error) {
@@ -616,8 +624,10 @@ usearch_distance_t usearch_distance(void const* vector_first, void const* vector
                               (unsigned long long)metric_kind);
     if (!r)
         return 0.0f;
+    PyGILState_STATE gil = PyGILState_Ensure();  // PyObject use needs the GIL
     double out = PyFloat_AsDouble(r);
     Py_DECREF(r);
+    PyGILState_Release(gil);
     return (usearch_distance_t)out;
 }
 
@@ -673,8 +683,10 @@ void usearch_metadata_buffer(void const* buffer, size_t length, usearch_init_opt
                               (unsigned long long)(uintptr_t)buffer, (unsigned long long)length);
     if (!r)
         return;
+    PyGILState_STATE gil = PyGILState_Ensure();  // PyObject use needs the GIL
     if (!options) {
         Py_DECREF(r);
+        PyGILState_Release(gil);
         return;
     }
     unsigned long long metric = 0, scalar = 0, dims = 0, multi = 0;
@@ -687,6 +699,7 @@ void usearch_metadata_buffer(void const* buffer, size_t length, usearch_init_opt
         capture_error(error);
     }
     Py_DECREF(r);
+    PyGILState_Release(gil);
 }
 
 void usearch_change_threads_add(usearch_index_t index, size_t threads, usearch_error_t* error) {

@@ -40,6 +40,13 @@ _QUERY_CHUNK = 256
 
 _DENSE_BLOCK = 256  # rows per gather block in the dense in-place layout
 
+import os as _os
+
+#: Pallas probe flavor: "group" (partition-grouped pairs — shared window
+#: DMA + full-width matmul, the default), "pair" (per-query windows),
+#: "xla" handled by USEARCH_TPU_KERNEL / exact.set_kernel_backend.
+_PROBE_MODE = _os.environ.get("USEARCH_TPU_PROBE", "group")
+
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _fresh_probe_mask(fresh_slots, cap: int):
@@ -447,7 +454,12 @@ class IVFPartitions:
             # DMA, so the padded window must cover p_win + the shift
             w_pad = max(((self.p_win + 127) // 128) * 128 + 128, 256)
             if w_pad <= int(index._capacity) and self._probe_pallas_ok(index, q, k):
-                return _ivf_probe_search_dense_pallas(
+                impl = (
+                    _ivf_probe_search_dense_pallas
+                    if _PROBE_MODE == "pair"
+                    else _ivf_probe_search_dense_grouped
+                )
+                return impl(
                     index._metric_kind,
                     index._dtype,
                     q,
@@ -705,6 +717,107 @@ def _score_centroids(metric, qf, centroids, lens=None):
     if lens is not None:
         cdist = cdist + jnp.where(lens == 0, MASKED, 0.0)[None, :]
     return cdist
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 9, 10, 11, 12))
+def _ivf_probe_search_dense_grouped(
+    metric: MetricKind,
+    kind: ScalarKind,
+    q,                # [Q, D] storage dtype
+    valid,            # [cap2] bool
+    centroids,        # [C, D] f32
+    table,            # [cap2, D] dense cluster-major
+    stats,            # [cap2, 2] f32
+    starts,           # [C] i32
+    lens,             # [C] i32
+    k: int,
+    nprobe: int,
+    w_pad: int,
+    g: int = 128,
+):
+    """Partition-GROUPED probe through the Pallas DMA kernel: (query, probe)
+    pairs are sorted by partition so queries probing the same partition
+    share one window DMA and one [W, D]×[D, G] matmul — at batch sizes where
+    partitions are probed by many queries this cuts HBM traffic toward ONE
+    table read per batch and runs the MXU at full column utilization (the
+    per-query matvec variant measured 5.8× off the DMA roofline).
+
+    Round-1's 'query-grouped probing rejected' analysis (PARITY.md) assumed
+    dedup machinery in the XLA gather path; the sorted-pair kernel gets the
+    sharing for free via lane masks."""
+    from .ops.pallas_probe import pallas_ivf_probe_grouped
+
+    n_q, d_w = q.shape
+    cap2 = table.shape[0]
+    c = centroids.shape[0]
+    qf = q.astype(jnp.float32)
+    cdist = _score_centroids(metric, qf, centroids, lens)
+    _, probes = jax.lax.top_k(-cdist, nprobe)              # [Q, nprobe]
+
+    p0 = n_q * nprobe
+    p_total = ((p0 + g - 1) // g) * g
+    part = probes.reshape(-1)
+    qid = jnp.arange(p0, dtype=jnp.int32) // nprobe
+    if p_total > p0:
+        part = jnp.concatenate([part, jnp.full(p_total - p0, c, jnp.int32)])
+        qid = jnp.concatenate([qid, jnp.zeros(p_total - p0, jnp.int32)])
+    order = jnp.argsort(part)                              # pads (=c) sort last
+    part_s = part[order]
+    qid_s = qid[order]
+
+    q_g = q[qid_s]                                         # [P, D]
+    q_sq = jnp.sum(qf * qf, axis=1)
+    q_sum = jnp.sum(qf, axis=1)
+
+    starts_ext = jnp.concatenate([starts, jnp.zeros(1, starts.dtype)])
+    lens_ext = jnp.concatenate([lens, jnp.zeros(1, lens.dtype)])
+    st_raw = starts_ext[part_s].astype(jnp.int32)
+    ln = lens_ext[part_s].astype(jnp.int32)
+    st_c = jnp.minimum((st_raw // 128) * 128, cap2 - w_pad)
+    off = st_raw - st_c
+
+    cells = p_total // g
+    ps2 = part_s.reshape(cells, g)
+    prev = jnp.concatenate([jnp.full((cells, 1), -1, ps2.dtype), ps2[:, :-1]], axis=1)
+    flag = ps2 != prev                                     # window transitions
+    widx = jnp.cumsum(flag, axis=1) - 1                    # [cells, g] slot per pair
+    wcnt = jnp.sum(flag, axis=1, dtype=jnp.int32)
+    rows_idx = jnp.broadcast_to(jnp.arange(cells)[:, None], (cells, g))
+    # packed SMEM metadata [cells, 8, g]: rows 0 wst, 1 woff, 2 wlen, 3 wcnt
+    # (a (1, g) SMEM block violates the (8, 128) min-tile rule on TPU)
+    meta = jnp.zeros((cells, 8, g), jnp.int32)
+    meta = meta.at[rows_idx, 0, widx].set(st_c.reshape(cells, g))
+    meta = meta.at[rows_idx, 1, widx].set(off.reshape(cells, g))
+    meta = meta.at[rows_idx, 2, widx].set(ln.reshape(cells, g))
+    meta = meta.at[:, 3, :].set(wcnt[:, None])
+    # q_aux widened to 8 lanes; the pair→window slot rides col 2 as f32
+    q_aux_g = jnp.zeros((p_total, 8), jnp.float32)
+    q_aux_g = q_aux_g.at[:, 0].set(q_sq[qid_s])
+    q_aux_g = q_aux_g.at[:, 1].set(q_sum[qid_s])
+    q_aux_g = q_aux_g.at[:, 2].set(widx.reshape(-1).astype(jnp.float32))
+
+    penalty = jnp.where(valid, 0.0, MASKED).astype(jnp.float32)
+    if metric == MetricKind.IP:
+        t_aux = penalty[None, :]
+    else:
+        t_aux = jnp.stack(
+            [stats[:, 0], stats[:, 1], penalty, jnp.zeros_like(penalty)], axis=0
+        )
+
+    bin_m = 4 if nprobe * (w_pad // 128) >= 8 * k else k
+    pd, pi = pallas_ivf_probe_grouped(
+        metric, q_g, q_aux_g, table, t_aux, meta,
+        k, w_pad, g, min(bin_m, 16),
+        jax.default_backend() == "cpu",
+    )
+
+    # scatter per-pair results back to (query, probe) order, reduce per query
+    r_d = jnp.full((p_total, k), MASKED, jnp.float32).at[order].set(pd)
+    r_i = jnp.full((p_total, k), -1, jnp.int32).at[order].set(pi)
+    r_d = r_d[:p0].reshape(n_q, nprobe * k)
+    r_i = r_i[:p0].reshape(n_q, nprobe * k)
+    d_out, ids = _staged_topk(r_d, r_i, k)
+    return d_out, jnp.where(d_out >= MASKED / 2, -1, ids)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 9, 10, 11))

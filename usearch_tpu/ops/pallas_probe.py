@@ -200,6 +200,184 @@ def _make_probe_kernel(
     return kernel
 
 
+def _make_grouped_kernel(
+    metric: MetricKind, k_pad: int, w_pad: int, g: int, bin_m: int
+):
+    """Partition-grouped cell: G (query, partition) PAIRS sorted by
+    partition; the cell's distinct windows are DMA'd and matmul'd ONCE
+    against all G pair-queries (full MXU column utilization — the per-query
+    kernel's [W, D]×[D, 8] matvec left 15/16 of the MXU idle and measured
+    5.8× off the DMA roofline). A pair's lane is live only during its own
+    window (lane_widx == w), so the per-lane fold accumulates exactly that
+    pair's window candidates."""
+    nb_w = w_pad // _LANES
+
+    def kernel(
+        meta_ref,    # [1, 8, g] i32 SMEM — rows: 0 wst, 1 woff, 2 wlen, 3 wcnt
+        q_ref,       # [g, D] VMEM — gathered pair-query rows
+        q_aux_ref,   # [g, 8] VMEM f32 — cols: 0 q_sq, 1 q_sum, 2 pair widx
+        table_ref,   # [cap2, D] HBM
+        t_aux_ref,   # [aux_rows, cap2] HBM f32
+        out_d_ref,   # [g, k_pad] f32
+        out_i_ref,   # [g, k_pad] i32
+        wbuf,        # [2, w_pad, D] VMEM scratch
+        abuf,        # [2, aux_rows, w_pad] VMEM f32 scratch
+        acc_d,       # [k_pad, g] f32 scratch
+        acc_i,       # [k_pad, g] i32 scratch
+        sems,        # [2, 2] DMA semaphores
+    ):
+        n_win = meta_ref[0, 3, 0]
+        acc_t = jnp.int32 if q_ref.dtype == jnp.int8 else jnp.float32
+
+        def win_dma(slot, w):
+            s = pl.multiple_of(meta_ref[0, 0, w], 128)
+            return pltpu.make_async_copy(
+                table_ref.at[pl.ds(s, w_pad), :], wbuf.at[slot], sems.at[slot, 0]
+            )
+
+        def aux_dma(slot, w):
+            s = pl.multiple_of(meta_ref[0, 0, w], 128)
+            return pltpu.make_async_copy(
+                t_aux_ref.at[:, pl.ds(s, w_pad)], abuf.at[slot], sems.at[slot, 1]
+            )
+
+        win_dma(0, 0).start()
+        aux_dma(0, 0).start()
+        acc_d[:] = jnp.full_like(acc_d, MASKED)
+        acc_i[:] = jnp.full_like(acc_i, -1)
+        q_sq = q_aux_ref[:, 0]
+        # pair→window ownership rides q_aux as f32 (exact for ints < 2^24);
+        # a separate [1, g] i32 VMEM block would violate the min-tile rule
+        lane_widx = q_aux_ref[:, 2]  # [g] f32
+
+        def body(w, _):
+            slot = jax.lax.rem(w, 2)
+            nxt = jax.lax.rem(w + 1, 2)
+
+            @pl.when(w + 1 < n_win)
+            def _prefetch():
+                win_dma(nxt, w + 1).start()
+                aux_dma(nxt, w + 1).start()
+
+            win_dma(slot, w).wait()
+            aux_dma(slot, w).wait()
+
+            s = meta_ref[0, 0, w]
+            off = meta_ref[0, 1, w]
+            ln = meta_ref[0, 2, w]
+
+            dots = jax.lax.dot_general(
+                wbuf[slot],
+                q_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=acc_t,
+            )  # [w_pad, g] — ONE matmul for every pair probing this window
+            d = _window_dists(metric, dots, q_sq, abuf[slot])
+
+            r = jax.lax.broadcasted_iota(jnp.int32, (w_pad, g), 0)
+            keep = (
+                (r >= off)
+                & (r < off + ln)
+                & (lane_widx[None, :] == w.astype(jnp.float32))
+            )
+            d = jnp.where(keep, d, MASKED)
+
+            d3 = d.reshape(nb_w, _LANES, g)
+            sub3 = jax.lax.broadcasted_iota(jnp.int32, (nb_w, _LANES, g), 1)
+            base = jax.lax.broadcasted_iota(jnp.int32, (nb_w, g), 0) * _LANES
+            bds = []
+            bis = []
+            for _i in range(bin_m):
+                mn = jnp.min(d3, axis=1)
+                am = jnp.argmin(d3, axis=1).astype(jnp.int32)
+                bds.append(mn)
+                bis.append(s + base + am)
+                if _i + 1 < bin_m:
+                    d3 = jnp.where(sub3 == am[:, None, :], MASKED, d3)
+            bin_d = jnp.concatenate(bds, axis=0)
+            bin_i = jnp.concatenate(bis, axis=0)
+
+            cand_d = jnp.concatenate([acc_d[:, :], bin_d], axis=0)
+            cand_i = jnp.concatenate([acc_i[:, :], bin_i], axis=0)
+            rows = cand_d.shape[0]
+            sub_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, g), 0)
+            sel_d = []
+            sel_i = []
+            for _j in range(k_pad):
+                m = jnp.min(cand_d, axis=0)
+                am2 = jnp.argmin(cand_d, axis=0)
+                onehot = sub_iota == am2[None, :]
+                iv = jnp.sum(jnp.where(onehot, cand_i, 0), axis=0)
+                sel_d.append(m)
+                sel_i.append(iv)
+                cand_d = jnp.where(onehot, MASKED, cand_d)
+            acc_d[:, :] = jnp.stack(sel_d, axis=0)
+            acc_i[:, :] = jnp.stack(sel_i, axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, n_win, body, 0)
+        out_d_ref[:] = acc_d[:].T
+        out_i_ref[:] = acc_i[:].T
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6, 7, 8, 9, 10))
+def pallas_ivf_probe_grouped(
+    metric: MetricKind,
+    q_g: jnp.ndarray,        # [P, D] gathered pair-query rows; P % g == 0
+    q_aux_g: jnp.ndarray,    # [P, 8] f32: cols 0 q_sq, 1 q_sum, 2 pair widx
+    table: jnp.ndarray,      # [cap2, D] dense cluster-major
+    t_aux: jnp.ndarray,      # [aux_rows, cap2] f32
+    meta: jnp.ndarray,       # [cells, 8, g] i32: rows 0 wst, 1 woff, 2 wlen, 3 wcnt
+    k: int,
+    w_pad: int,
+    g: int = 128,
+    bin_m: int = 4,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Grouped probe: returns per-PAIR (dists [P, k] f32, ids [P, k] i32)."""
+    p_total, d_width = q_g.shape
+    cap2 = table.shape[0]
+    aux_rows = t_aux.shape[0]
+    assert p_total % g == 0 and w_pad % _LANES == 0 and cap2 >= w_pad
+    k_pad = max(k, 8)
+    cells = p_total // g
+
+    kernel = _make_grouped_kernel(metric, k_pad, w_pad, g, min(bin_m, k_pad))
+    out_d, out_i = pl.pallas_call(
+        kernel,
+        grid=(cells,),
+        in_specs=[
+            pl.BlockSpec((1, 8, g), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, d_width), lambda i: (i, 0)),
+            pl.BlockSpec((g, 8), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, k_pad), lambda i: (i, 0)),
+            pl.BlockSpec((g, k_pad), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((p_total, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((p_total, k_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, w_pad, d_width), table.dtype),
+            pltpu.VMEM((2, aux_rows, w_pad), jnp.float32),
+            pltpu.VMEM((k_pad, g), jnp.float32),
+            pltpu.VMEM((k_pad, g), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(meta, q_g, q_aux_g, table, t_aux)
+
+    d_out = out_d[:, :k]
+    i_out = out_i[:, :k]
+    return d_out, jnp.where(d_out >= MASKED / 2, -1, i_out)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11))
 def pallas_ivf_probe(
     metric: MetricKind,
