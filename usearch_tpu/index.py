@@ -117,6 +117,12 @@ def _gather_rows(table, slots):
     return table[slots]
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _valid_prefix(valid, count: int):
+    """Dense-prefix validity after an on-device compact."""
+    return jnp.arange(valid.shape[0]) < count
+
+
 class _RWLock:
     """Reader/writer lock — the role of the reference's userspace
     `unfair_shared_mutex_t` (index_plugins.hpp:1018-1091): searches share,
@@ -999,23 +1005,34 @@ class Index:
         if len(live) == self._next_slot:
             return self._count  # already dense
         keys = self._slot_keys[live].copy()
-        rows = np.asarray(_gather_rows(self._table, jnp.asarray(live)))
         f64_rows = self._host_f64[live].copy() if self._host_f64 is not None else None
-
         count = len(live)
+
+        # Pack live rows to the front ON DEVICE in ascending chunks: live
+        # slots are sorted, so every source row position >= its destination
+        # and chunks never read rows an earlier chunk overwrote. Device peak
+        # = table + one chunk buffer; no O(capacity) host round trip (at
+        # 100M rows the old full-table rebuild spiked ~13 GB of host RAM).
+        kind = ScalarKind.F32 if self._is_set_index else self._dtype
+        chunk = 1 << 20
+        for off in range(0, count, chunk):
+            src = live[off : off + chunk]
+            m = len(src)
+            m_pad = pad_queries(m)
+            src_pad = np.full(m_pad, self._capacity, dtype=np.int64)  # OOB pads
+            src_pad[:m] = src
+            dst_pad = np.full(m_pad, self._capacity, dtype=np.int32)
+            dst_pad[:m] = np.arange(off, off + m, dtype=np.int32)
+            rows_dev = _gather_rows(self._table, jnp.asarray(np.clip(src_pad, 0, self._capacity - 1)))
+            self._table, self._stats, self._valid = _scatter_rows(
+                self._table, self._stats, self._valid,
+                jnp.asarray(dst_pad), rows_dev, kind,
+            )
+        self._valid = _valid_prefix(self._valid, count)
+
         slots = np.arange(count, dtype=np.int64)
         self._keymap = KeyMap(multi=self._multi)
         self._free_slots = []
-        full = np.zeros((self._capacity, self._width), dtype=rows.dtype)
-        if self._is_set_index:
-            full[:] = -1
-        full[:count] = rows
-        self._table = jnp.asarray(full, dtype=self._jax_dtype)
-        kind = ScalarKind.F32 if self._is_set_index else self._dtype
-        self._stats = stats_kernel(kind, self._table)
-        valid_np = np.zeros(self._capacity, dtype=bool)
-        valid_np[:count] = True
-        self._valid = jnp.asarray(valid_np)
         self._slot_keys[:] = 0
         self._slot_keys[:count] = keys
         self._keymap.insert_many(keys, slots)

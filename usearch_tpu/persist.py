@@ -40,9 +40,16 @@ LIBRARY_VERSION = "2.21.0+tpu.0.1"
 
 
 def _logical_rows_np(index) -> np.ndarray:
-    """Live rows in slot order, in on-disk (unpadded, stored-dtype) layout."""
+    """Live rows in slot order, in on-disk (unpadded, stored-dtype) layout.
+
+    Rows are gathered ON DEVICE in chunks and the logical (unpadded) columns
+    sliced there, so the host never materializes the [capacity, width]
+    padded table (the old `np.asarray(table)[live]` pulled the whole padded
+    buffer — a ~13 GB host spike at 100M rows — to keep only live rows)."""
     from .enums import ScalarKind, to_numpy_dtype
 
+    if getattr(index, "_streamed", False) and index._host_rows is not None:
+        return np.asarray(index._host_rows)  # already host-resident, on-disk layout
     if index._table is None:  # empty index: zero logical rows
         if index._is_set_index:
             return np.zeros((0, index._ndim), dtype=np.int32)
@@ -50,15 +57,23 @@ def _logical_rows_np(index) -> np.ndarray:
             return np.zeros((0, (index._ndim + 7) // 8), dtype=np.uint8)
         return np.zeros((0, index._ndim), dtype=to_numpy_dtype(index._dtype))
     live = index._live_slots()
-    if index._is_set_index:
-        rows = np.asarray(index._table)[live][:, : index._ndim].astype(np.int32)
-        return rows
     if index._dtype == ScalarKind.F64 and index._host_f64 is not None:
         return index._host_f64[live].astype(np.float64)
-    rows = np.asarray(index._table)[live]
-    if index._dtype == ScalarKind.B1:
-        return rows[:, : (index._ndim + 7) // 8].astype(np.uint8)
-    return rows[:, : index._ndim].astype(to_numpy_dtype(index._dtype))
+
+    import jax.numpy as jnp
+
+    if index._is_set_index:
+        cols, out_dt = index._ndim, np.int32
+    elif index._dtype == ScalarKind.B1:
+        cols, out_dt = (index._ndim + 7) // 8, np.uint8
+    else:
+        cols, out_dt = index._ndim, to_numpy_dtype(index._dtype)
+    out = np.empty((len(live), cols), dtype=out_dt)
+    chunk = 1 << 20
+    for off in range(0, len(live), chunk):
+        idx = jnp.asarray(live[off : off + chunk])
+        out[off : off + len(idx)] = np.asarray(index._table[idx][:, :cols]).astype(out_dt)
+    return out
 
 
 def _header_dict(index, count: int) -> dict:
