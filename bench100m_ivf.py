@@ -393,24 +393,38 @@ def main():
         sq = [qs[:SMALL_Q] for qs in qsets]
         nprobe = NPROBES[-1]
 
-        def ivf_s(q):
-            return _ivf_probe_search_dense(
-                MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
-                starts_dev, lens_dev, D, k_fetch, nprobe, p_win, _DENSE_BLOCK,
-            )[1]
+        for s_impl in impls:
+            if s_impl == "xla":
+                def ivf_s(q, nprobe=nprobe):
+                    return _ivf_probe_search_dense(
+                        MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
+                        starts_dev, lens_dev, D, k_fetch, nprobe, p_win, _DENSE_BLOCK,
+                    )[1]
+            elif s_impl == "pallas":
+                def ivf_s(q, nprobe=nprobe):
+                    return _ivf_probe_search_dense_pallas(
+                        MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
+                        starts_dev, lens_dev, k_fetch, nprobe, w_pad,
+                    )[1]
+            else:
+                def ivf_s(q, nprobe=nprobe):
+                    return _ivf_probe_search_dense_grouped(
+                        MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
+                        starts_dev, lens_dev, k_fetch, nprobe, w_pad,
+                    )[1]
 
-        _ = np.asarray(ivf_s(sq[0]))
-        t1 = time.perf_counter()
-        ids1 = np.asarray(ivf_s(sq[1]))
-        dt_ivf = time.perf_counter() - t1
-        got = to_orig(ids1)
-        rec_s = np.mean(
-            [len(set(a.tolist()) & set(b.tolist())) / K
-             for a, b in zip(got, gt_orig[1][:SMALL_Q])]
-        )
-        small.append(("ivf", nprobe, SMALL_Q / dt_ivf, rec_s))
-        log(f"small-batch Q={SMALL_Q} IVF nprobe={nprobe}: "
-            f"{SMALL_Q/dt_ivf:.0f} QPS ({dt_ivf*1000:.1f} ms) recall@10={rec_s:.4f}")
+            _ = np.asarray(ivf_s(sq[0]))
+            t1 = time.perf_counter()
+            ids1 = np.asarray(ivf_s(sq[1]))
+            dt_ivf = time.perf_counter() - t1
+            got = to_orig(ids1)
+            rec_s = np.mean(
+                [len(set(a.tolist()) & set(b.tolist())) / K
+                 for a, b in zip(got, gt_orig[1][:SMALL_Q])]
+            )
+            small.append((s_impl, nprobe, SMALL_Q / dt_ivf, rec_s))
+            log(f"small-batch Q={SMALL_Q} IVF nprobe={nprobe} [{s_impl}]: "
+                f"{SMALL_Q/dt_ivf:.0f} QPS ({dt_ivf*1000:.1f} ms) recall@10={rec_s:.4f}")
 
     log("SUMMARY 100M x 96d i8, C=%d chunks=%d spill=%.2f" % (ncent, len(starts), SPILL))
     log(f"exact: {Q/exact_dt:.0f} QPS recall 1.0; serving {Q/approx_dt:.0f} QPS recall {arec:.4f}")

@@ -399,10 +399,13 @@ class IVFPartitions:
         from .exact import _use_pallas
         from .ops import pallas_scan
 
+        # the grouped kernel pads its (query, probe) pair list to a lane
+        # multiple internally, so ANY query count rides it (single-query
+        # serving included); only the per-query pair kernel needs Q % 8 == 0
         return (
             _use_pallas()
             and k <= 128
-            and q.shape[0] % 8 == 0
+            and (_PROBE_MODE != "pair" or q.shape[0] % 8 == 0)
             and pallas_scan.supports(index._metric_kind, index._dtype)
         )
 
@@ -860,10 +863,14 @@ def _ivf_probe_search_dense_pallas(
         t_aux = jnp.stack(
             [stats[:, 0], stats[:, 1], penalty, jnp.zeros_like(penalty)], axis=0
         )
-    # candidates per bin per window: 2 suffices when the probe surface is
-    # wide (collisions need 3+ of the top-k in one 128-row bin); small
-    # probe surfaces (toy tables / tiny nprobe) get exact-in-window k
-    bin_m = 2 if nprobe * (w_pad // 128) >= 8 * k else k
+    # candidates per bin per window: measured on TPU at 4M×96d (C=4096,
+    # blob corpus), bin_m=2 loses real recall when a query's true top-k
+    # concentrates in ONE cluster window (nprobe=16: 0.903 vs 0.976 for the
+    # XLA probe; nprobe=64: 0.921 vs 0.995) — neighbors pack 3+ per 128-row
+    # bin far more often than the independence guess suggested. bin_m=4
+    # matches XLA recall to within 0.002 in the grouped kernel at the same
+    # shapes; small probe surfaces get exact-in-window k.
+    bin_m = 4 if nprobe * (w_pad // 128) >= 8 * k else k
     return pallas_ivf_probe(
         metric,
         q,
