@@ -1,0 +1,119 @@
+"""Calibrate the grouped IVF probe kernel's cost model on the real chip.
+
+Hypothesis (from the op-count model): the kernel is VPU-bound — per window it
+runs ~25 elementwise passes over [w_pad, g] (epilogue + off/len/lane masks +
+bin_m x (min+argmin) bin extraction + k_pad-pass running fold) against just
+~0.28 us of window DMA.  If true: time scales with bin_m and k and barely
+moves with table bytes; the rewrite should target 1-2 selection passes and no
+in-kernel fold.
+
+Synthetic timing-only setup (no k-means, no recall): equal-size clusters over
+a random i8 table so starts/lens are arange-built.  Run:  python
+scripts/tpu_probe_kernel_profile.py  (real chip, ~2-3 min)
+"""
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from usearch_tpu.enums import MetricKind
+from usearch_tpu.ops import pallas_probe
+
+N = 10_000_000
+D = 128                                        # storage width (96d padded to lanes)
+C = 8192
+Q = 1024
+K = 10
+G = 128
+
+rng = np.random.default_rng(0)
+clen = N // C                                  # 1220 rows per cluster
+cap2 = C * clen
+w_pad = ((clen + 127) // 128 + 1) * 128        # 128-aligned DMA window
+
+table = jnp.asarray(rng.integers(-127, 128, (cap2, D), dtype=np.int8))
+t_aux = jnp.zeros((1, cap2), jnp.float32)      # IP: penalty row only
+starts = np.arange(C, dtype=np.int32) * clen
+
+def build_pairs(nprobe, seed):
+    """Random probe lists, sorted by partition (what ivf.py feeds the kernel)."""
+    r = np.random.default_rng(seed)
+    probes = np.stack([r.choice(C, nprobe, replace=False) for _ in range(Q)])
+    p0 = Q * nprobe
+    p_total = ((p0 + G - 1) // G) * G
+    part = probes.reshape(-1)
+    qid = np.arange(p0, dtype=np.int32) // nprobe
+    if p_total > p0:
+        part = np.concatenate([part, np.full(p_total - p0, C - 1, np.int32)])
+        qid = np.concatenate([qid, np.zeros(p_total - p0, np.int32)])
+    order = np.argsort(part, kind="stable")
+    part_s = part[order]
+    qid_s = qid[order]
+    st_raw = starts[part_s]
+    st_c = np.minimum((st_raw // 128) * 128, cap2 - w_pad)
+    off = st_raw - st_c
+    ln = np.full(p_total, clen, np.int32)
+    cells = p_total // G
+    ps2 = part_s.reshape(cells, G)
+    prev = np.concatenate([np.full((cells, 1), -1, ps2.dtype), ps2[:, :-1]], axis=1)
+    flag = ps2 != prev
+    widx = np.cumsum(flag, axis=1) - 1
+    wcnt = flag.sum(axis=1).astype(np.int32)
+    rows_idx = np.broadcast_to(np.arange(cells)[:, None], (cells, G))
+    meta = np.zeros((cells, 8, G), np.int32)
+    meta[rows_idx, 0, widx] = st_c.reshape(cells, G)
+    meta[rows_idx, 1, widx] = off.reshape(cells, G)
+    meta[rows_idx, 2, widx] = ln.reshape(cells, G)
+    meta[:, 3, :] = wcnt[:, None]
+    qv = rng.integers(-127, 128, (Q, D), dtype=np.int8).astype(np.float32)
+    q_g = qv[qid_s].astype(np.int8)
+    q_aux = np.zeros((p_total, 8), np.float32)
+    q_aux[:, 0] = (qv * qv).sum(1)[qid_s]
+    q_aux[:, 1] = qv.sum(1)[qid_s]
+    q_aux[:, 2] = widx.reshape(-1)
+    n_windows = int(wcnt.sum())
+    return (jnp.asarray(q_g), jnp.asarray(q_aux), jnp.asarray(meta)), n_windows
+
+
+def timeit(fn, a, b):
+    np.asarray(fn(*a)[0])                      # warm/compile on pairs A
+    t0 = time.perf_counter()
+    np.asarray(fn(*b)[0])                      # time on pairs B (dedup-safe)
+    return time.perf_counter() - t0
+
+
+print(f"N={N} C={C} clen={clen} w_pad={w_pad} Q={Q} G={G}")
+for nprobe in (16, 64):
+    a, nw_a = build_pairs(nprobe, 1)
+    b, nw_b = build_pairs(nprobe, 2)
+    dma_gb = nw_b * w_pad * D / 1e9
+    for bin_m in (4,):
+        for k in (K,):
+            fn = functools.partial(
+                pallas_probe.pallas_ivf_probe_grouped,
+                MetricKind.IP, table=table, t_aux=t_aux,
+                k=k, w_pad=w_pad, g=G, bin_m=bin_m,
+            )
+            dt = timeit(lambda qg, qa, m: fn(q_g=qg, q_aux_g=qa, meta=m), a, b)
+            print(
+                f"v1 nprobe={nprobe:3d} bin_m={bin_m} k={k:3d}: {dt*1e3:8.1f} ms"
+                f"  ({dt/nw_b*1e6:6.2f} us/window, windows={nw_b},"
+                f" dma {dma_gb:.2f} GB -> {dma_gb/dt:.0f} GB/s eff)"
+            )
+    for bw, keep in ((32, 1), (16, 2), (32, 2), (16, 4)):
+        for wb in (1, 4, 8):
+            fn = functools.partial(
+                pallas_probe.pallas_ivf_probe_binned,
+                table=table, w_pad=w_pad, g=G, bw=bw, keep=keep, wb=wb,
+            )
+            dt = timeit(lambda qg, qa, m: fn(qg, qa, meta=m), a, b)
+            print(
+                f"v2 nprobe={nprobe:3d} keep{keep}@{bw} wb={wb}: {dt*1e3:8.1f} ms"
+                f"  ({dt/nw_b*1e6:6.2f} us/window,"
+                f" dma {dma_gb:.2f} GB -> {dma_gb/dt:.0f} GB/s eff)"
+            )

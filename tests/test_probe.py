@@ -1,0 +1,191 @@
+"""Binned (fold-free) Pallas IVF probe: parity vs the XLA probe path.
+
+The binned kernel selects candidates by raw MXU dot (top-`keep` per
+`bw`-row bin, packed-key min-reduce), merges and masks OUTSIDE the kernel
+(ivf._ivf_probe_search_dense_binned). These tests pin:
+- recall parity-or-better vs the masked XLA probe on a clusterable corpus
+  (the padded windows legitimately scan neighbor-cluster rows);
+- returned (id, distance) consistency per metric, ascending order, no
+  duplicate ids (window overlap is deduped);
+- removed rows never surface (post-merge validity masking);
+- the heavy-filter fallback (`_binned_ok` live floor) stays correct.
+
+Reference behaviorals: search-after-remove (reference
+python/scripts/test_index.py remove tests), filtered search
+(index.hpp:4175-4246 predicate filtering during traversal).
+"""
+
+import numpy as np
+import pytest
+
+import usearch_tpu as ut
+from usearch_tpu import exact
+from usearch_tpu import ivf as iv
+from usearch_tpu.enums import MetricKind, ScalarKind
+
+
+@pytest.fixture()
+def blob_corpus():
+    rng = np.random.default_rng(7)
+    n, d, nb = 24000, 64, 40
+    cents = rng.standard_normal((nb, d)) * 3
+    vecs = (cents[rng.integers(0, nb, n)] + rng.standard_normal((n, d))).astype(
+        np.float32
+    )
+    q = (cents[rng.integers(0, nb, 64)] + rng.standard_normal((64, d))).astype(
+        np.float32
+    )
+    return vecs, q
+
+
+def _recall(got, gt, k):
+    return float(
+        np.mean(
+            [len(set(a.tolist()) & set(b.tolist())) / k for a, b in zip(got, gt)]
+        )
+    )
+
+
+def _build(vecs, mode, metric="ip", parts=64):
+    old_mode = iv._PROBE_MODE
+    iv._PROBE_MODE = mode
+    try:
+        ix = ut.Index(ndim=vecs.shape[1], metric=metric, dtype="i8",
+                      expansion_search=192)
+        ix.add(None, vecs)
+        ix.optimize(n_partitions=parts, reorder=True)
+    finally:
+        iv._PROBE_MODE = old_mode
+    return ix
+
+
+def _search(ix, q, k, mode, **kw):
+    old_mode = iv._PROBE_MODE
+    iv._PROBE_MODE = mode
+    try:
+        return ix.search(q, k, **kw)
+    finally:
+        iv._PROBE_MODE = old_mode
+
+
+@pytest.mark.parametrize("metric", ["ip", "cos", "l2sq"])
+def test_binned_recall_matches_xla(blob_corpus, metric):
+    vecs, q = blob_corpus
+    k = 10
+    exact.set_kernel_backend("pallas")
+    try:
+        ix = _build(vecs, "bin", metric=metric)
+        gt = np.asarray(_search(ix, q, k, "bin", exact=True).keys)
+        got_bin = np.asarray(_search(ix, q, k, "bin").keys)
+        got_xla = np.asarray(_search(ix, q, k, "xla").keys)
+    finally:
+        exact.set_kernel_backend("auto")
+    r_bin = _recall(got_bin, gt, k)
+    r_xla = _recall(got_xla, gt, k)
+    # padded windows add neighbor-cluster candidates: binned should not lose
+    assert r_bin >= r_xla - 0.02, (metric, r_bin, r_xla)
+    assert r_bin >= 0.9, (metric, r_bin)
+
+
+def test_binned_distance_consistency(blob_corpus):
+    vecs, q = blob_corpus
+    k = 10
+    exact.set_kernel_backend("pallas")
+    try:
+        ix = _build(vecs, "bin")
+        m = _search(ix, q, k, "bin")
+    finally:
+        exact.set_kernel_backend("auto")
+    keys = np.asarray(m.keys)
+    dists = np.asarray(m.distances)
+    # re-fetch stored rows and recompute the i8 ip distance convention
+    from usearch_tpu.ops.casts import cast_to_i8_np
+
+    for qi in range(0, len(q), 7):
+        qv = cast_to_i8_np(q[qi : qi + 1])[0].astype(np.float32)
+        live = keys[qi][keys[qi] != np.iinfo(np.uint64).max]
+        assert len(set(live.tolist())) == len(live)  # no duplicate ids
+        dd = dists[qi][: len(live)]
+        assert np.all(np.diff(dd) >= -1e-3)  # ascending
+        for j in range(min(3, len(live))):
+            stored = np.asarray(ix.get(int(live[j]), "i8")).astype(np.float32)
+            want = 1.0 - float(qv[: len(stored)] @ stored)
+            assert np.isclose(want, dd[j], rtol=1e-4, atol=1e-2)
+
+
+def test_binned_excludes_removed(blob_corpus):
+    vecs, q = blob_corpus
+    exact.set_kernel_backend("pallas")
+    try:
+        ix = _build(vecs, "bin")
+        gone = np.asarray(_search(ix, q, 3, "bin").keys)[:, 0]
+        for key in set(gone.tolist()):
+            ix.remove(int(key))
+        m = _search(ix, q, 10, "bin")
+    finally:
+        exact.set_kernel_backend("auto")
+    keys = set(np.asarray(m.keys).flatten().tolist())
+    assert not (keys & set(gone.tolist()))
+
+
+def test_binned_heavy_filter_falls_back(blob_corpus):
+    """A filter keeping <50% of rows must not starve results: _binned_ok
+    routes it to the in-kernel penalty paths."""
+    vecs, q = blob_corpus
+    exact.set_kernel_backend("pallas")
+    try:
+        ix = _build(vecs, "bin")
+        allow = np.arange(0, len(vecs), 4, dtype=np.uint64)  # 25% live
+        m = _search(ix, q[:8], 10, "bin", filter=allow)
+    finally:
+        exact.set_kernel_backend("auto")
+    keys = np.asarray(m.keys)
+    live = keys[keys != np.iinfo(np.uint64).max]
+    assert live.size == 8 * 10
+    assert np.all(live % 4 == 0)
+
+
+def test_binned_direct_small_window():
+    """Direct wrapper call on a tiny synthetic layout: ids/dists exact."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    C, clen, D = 16, 96, 128
+    cap2 = C * clen + 128
+    n = C * clen
+    table = np.zeros((cap2, D), np.int8)
+    table[:n] = rng.integers(-127, 128, (n, D), dtype=np.int8)
+    valid = np.zeros(cap2, bool)
+    valid[:n] = True
+    starts = np.arange(C, dtype=np.int32) * clen
+    lens = np.full(C, clen, np.int32)
+    cents = np.stack(
+        [table[s : s + clen].astype(np.float32).mean(0) for s in starts]
+    )
+    stats = np.zeros((cap2, 2), np.float32)
+    stats[:, 0] = (table.astype(np.float32) ** 2).sum(1)
+    q = rng.integers(-127, 128, (5, D), dtype=np.int8)
+    w_pad = ((clen + 127) // 128 + 1) * 128
+    d, ids = iv._ivf_probe_search_dense_binned(
+        MetricKind.IP,
+        ScalarKind.I8,
+        jnp.asarray(q),
+        jnp.asarray(valid),
+        jnp.asarray(cents),
+        jnp.asarray(table),
+        jnp.asarray(stats),
+        jnp.asarray(starts),
+        jnp.asarray(lens),
+        10,
+        4,
+        w_pad,
+    )
+    d, ids = np.asarray(d), np.asarray(ids)
+    tf = table.astype(np.float32)
+    qf = q.astype(np.float32)
+    for qi in range(5):
+        for j in range(10):
+            rid = int(ids[qi, j])
+            if rid < 0:
+                continue
+            assert np.isclose(1.0 - qf[qi] @ tf[rid], d[qi, j], rtol=1e-5, atol=1e-2)

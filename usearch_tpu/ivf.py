@@ -42,10 +42,26 @@ _DENSE_BLOCK = 256  # rows per gather block in the dense in-place layout
 
 import os as _os
 
-#: Pallas probe flavor: "group" (partition-grouped pairs — shared window
-#: DMA + full-width matmul, the default), "pair" (per-query windows),
-#: "xla" handled by USEARCH_TPU_KERNEL / exact.set_kernel_backend.
-_PROBE_MODE = _os.environ.get("USEARCH_TPU_PROBE", "group")
+#: Pallas probe flavor: "bin" (fold-free binned kernel, i8 tables — the
+#: default; falls back to "group" where its preconditions fail), "group"
+#: (partition-grouped pairs — shared window DMA + full-width matmul),
+#: "pair" (per-query windows), "xla" handled by USEARCH_TPU_KERNEL /
+#: exact.set_kernel_backend.
+_PROBE_MODE = _os.environ.get("USEARCH_TPU_PROBE", "bin")
+
+#: live-fraction floor below which the binned kernel (which masks deleted/
+#: filtered rows AFTER its top-(k+slack) merge) defers to the in-kernel
+#: penalty paths — under heavy filters the post-merge slack would starve
+_BIN_LIVE_FLOOR = 0.5
+
+#: binned-kernel candidate granularity: _BIN_KEEP winners per _BIN_BW-row
+#: bin. True neighbors CONCENTRATE (often in one cluster window, sometimes
+#: in adjacent duplicate rows), so wide single-winner bins lose same-bin
+#: collisions (measured 1@32: recall 0.83 vs 0.98 XLA at 60k rows / 128
+#: parts; 1@8: 0.95). keep=2 costs ~3 extra VPU passes but survives
+#: adjacent duplicates; density = keep/bw rows.
+_BIN_BW = int(_os.environ.get("USEARCH_TPU_BIN_BW", "16"))
+_BIN_KEEP = int(_os.environ.get("USEARCH_TPU_BIN_KEEP", "2"))
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -125,6 +141,7 @@ class IVFPartitions:
         # the keyed reference alive makes `is` a sound cache key)
         self._pv_cache = None             # (valid ref, part_valid dev)
         self._probe_valid_cache = None    # (valid ref, mask ref, composed)
+        self._live_cache = None           # (valid ref, live fraction)
 
     @staticmethod
     def _quantize(
@@ -399,14 +416,37 @@ class IVFPartitions:
         from .exact import _use_pallas
         from .ops import pallas_scan
 
-        # the grouped kernel pads its (query, probe) pair list to a lane
-        # multiple internally, so ANY query count rides it (single-query
+        # the grouped kernels pad their (query, probe) pair list to a lane
+        # multiple internally, so ANY query count rides them (single-query
         # serving included); only the per-query pair kernel needs Q % 8 == 0
         return (
             _use_pallas()
             and k <= 128
             and (_PROBE_MODE != "pair" or q.shape[0] % 8 == 0)
             and pallas_scan.supports(index._metric_kind, index._dtype)
+        )
+
+    def _live_frac(self, valid) -> float:
+        """Fraction of live slots in the composed validity mask, cached by
+        mask identity — one scalar fetch per (table version, filter)."""
+        c = self._live_cache
+        if c is None or c[0] is not valid:
+            self._live_cache = (valid, float(jnp.mean(valid)))
+        return self._live_cache[1]
+
+    def _binned_ok(self, index, valid, k: int, nprobe: int, w_pad: int) -> bool:
+        """Preconditions for the fold-free binned kernel: i8 storage,
+        dot-selectable metric, a probe surface wide enough that 1-per-32-row
+        bin candidates cover k, and a mostly-live mask (deleted/filtered
+        rows are masked after the merge, not during selection)."""
+        nbins = _BIN_KEEP * (w_pad // _BIN_BW)
+        return (
+            _PROBE_MODE == "bin"
+            and index._dtype == ScalarKind.I8
+            and index._metric_kind in (MetricKind.IP, MetricKind.Cos, MetricKind.L2sq)
+            and index._table.shape[1] <= 2048
+            and nprobe * nbins >= 8 * k
+            and self._live_frac(valid) >= _BIN_LIVE_FLOOR
         )
 
     def nprobe_for(self, expansion_search: int, connectivity: int = 16) -> int:
@@ -457,12 +497,7 @@ class IVFPartitions:
             # DMA, so the padded window must cover p_win + the shift
             w_pad = max(((self.p_win + 127) // 128) * 128 + 128, 256)
             if w_pad <= int(index._capacity) and self._probe_pallas_ok(index, q, k):
-                impl = (
-                    _ivf_probe_search_dense_pallas
-                    if _PROBE_MODE == "pair"
-                    else _ivf_probe_search_dense_grouped
-                )
-                return impl(
+                args = (
                     index._metric_kind,
                     index._dtype,
                     q,
@@ -476,6 +511,13 @@ class IVFPartitions:
                     nprobe,
                     w_pad,
                 )
+                if _PROBE_MODE == "pair":
+                    return _ivf_probe_search_dense_pallas(*args)
+                if self._binned_ok(index, valid, k, nprobe, w_pad):
+                    return _ivf_probe_search_dense_binned(
+                        *args, 128, _BIN_BW, _BIN_KEEP
+                    )
+                return _ivf_probe_search_dense_grouped(*args)
             return _ivf_probe_search_dense(
                 index._metric_kind,
                 index._dtype,
@@ -720,6 +762,159 @@ def _score_centroids(metric, qf, centroids, lens=None):
     if lens is not None:
         cdist = cdist + jnp.where(lens == 0, MASKED, 0.0)[None, :]
     return cdist
+
+
+def _binned_pairs(q, probes, starts, lens, cap2, w_pad, nprobe, g):
+    """Shared (query, probe)-pair construction for the grouped kernels:
+    pairs sorted by partition so a cell's distinct windows are DMA'd once;
+    returns the gathered pair rows, packed SMEM metadata and the inverse
+    permutation back to (query, probe) order."""
+    n_q = q.shape[0]
+    c = lens.shape[0]
+    p0 = n_q * nprobe
+    p_total = ((p0 + g - 1) // g) * g
+    part = probes.reshape(-1)
+    qid = jnp.arange(p0, dtype=jnp.int32) // nprobe
+    if p_total > p0:
+        part = jnp.concatenate([part, jnp.full(p_total - p0, c, jnp.int32)])
+        qid = jnp.concatenate([qid, jnp.zeros(p_total - p0, jnp.int32)])
+    order = jnp.argsort(part)                              # pads (=c) sort last
+    part_s = part[order]
+    qid_s = qid[order]
+
+    starts_ext = jnp.concatenate([starts, jnp.zeros(1, starts.dtype)])
+    lens_ext = jnp.concatenate([lens, jnp.zeros(1, lens.dtype)])
+    st_raw = starts_ext[part_s].astype(jnp.int32)
+    ln = lens_ext[part_s].astype(jnp.int32)
+    st_c = jnp.minimum((st_raw // 128) * 128, cap2 - w_pad)
+    off = st_raw - st_c
+
+    cells = p_total // g
+    ps2 = part_s.reshape(cells, g)
+    prev = jnp.concatenate([jnp.full((cells, 1), -1, ps2.dtype), ps2[:, :-1]], axis=1)
+    flag = ps2 != prev                                     # window transitions
+    widx = jnp.cumsum(flag, axis=1) - 1                    # [cells, g] slot per pair
+    wcnt = jnp.sum(flag, axis=1, dtype=jnp.int32)
+    rows_idx = jnp.broadcast_to(jnp.arange(cells)[:, None], (cells, g))
+    meta = jnp.zeros((cells, 8, g), jnp.int32)
+    meta = meta.at[rows_idx, 0, widx].set(st_c.reshape(cells, g))
+    meta = meta.at[rows_idx, 1, widx].set(off.reshape(cells, g))
+    meta = meta.at[rows_idx, 2, widx].set(ln.reshape(cells, g))
+    meta = meta.at[:, 3, :].set(wcnt[:, None])
+    q_g = q[qid_s]
+    return q_g, qid_s, widx, meta, order, p0, p_total
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 9, 10, 11, 12, 13, 14))
+def _ivf_probe_search_dense_binned(
+    metric: MetricKind,
+    kind: ScalarKind,
+    q,                # [Q, D] i8 storage rows
+    valid,            # [cap2] bool (deletions ∧ filter ∧ fresh)
+    centroids,        # [C, D] f32
+    table,            # [cap2, D] i8 dense cluster-major
+    stats,            # [cap2, 2] f32
+    starts,           # [C] i32
+    lens,             # [C] i32
+    k: int,
+    nprobe: int,
+    w_pad: int,
+    g: int = 128,
+    bw: Optional[int] = None,
+    keep: Optional[int] = None,
+):
+    """Fold-free binned probe (i8 tables): the Pallas kernel emits each
+    pair's per-32-row-bin winners selected by raw MXU dot; the exact
+    top-k merge, true metric distances, deleted/filter masking and
+    duplicate removal all run OUTSIDE in XLA on the merged top-(k+slack).
+
+    vs the v1 grouped kernel this deletes the in-kernel running fold and
+    every per-window epilogue/mask pass (measured 2× + 2× of window time,
+    scripts/tpu_probe_kernel_profile.py). Selection by raw dot is exact
+    for IP; for cos/l2sq on i8 it rides the storage invariant that i8
+    rows are unit-normalized (±127 scale), so per-row norms vary only by
+    truncation — true distances are still computed exactly for the merged
+    candidates via the stats gather below. Callers must route heavily
+    masked searches (low live fraction) to the masked paths instead."""
+    from .ops.pallas_probe import pallas_ivf_probe_binned
+
+    n_q, d_w = q.shape
+    cap2 = table.shape[0]
+    qf = q.astype(jnp.float32)
+    cdist = _score_centroids(metric, qf, centroids, lens)
+    _, probes = jax.lax.top_k(-cdist, nprobe)              # [Q, nprobe]
+
+    q_g, qid_s, widx, meta, order, p0, p_total = _binned_pairs(
+        q, probes, starts, lens, cap2, w_pad, nprobe, g
+    )
+    q_aux_g = jnp.zeros((p_total, 8), jnp.float32)
+    q_aux_g = q_aux_g.at[:, 2].set(widx.reshape(-1).astype(jnp.float32))
+
+    # windows-per-iteration: amortize fixed DMA/scalar overhead without
+    # overflowing VMEM (wbuf is [2, wb, w_pad, D] i8)
+    wb = max(1, min(4, (6 << 20) // max(2 * w_pad * d_w, 1)))
+    if bw is None:
+        bw = _BIN_BW
+    if keep is None:
+        keep = _BIN_KEEP
+    pd, pi = pallas_ivf_probe_binned(
+        q_g, q_aux_g, table, meta, w_pad, g, bw, keep, wb,
+        jax.default_backend() == "cpu",
+    )
+
+    # exact per-window top-t over the bin winners (width ≤ a few lanes-rows,
+    # cheap) BEFORE the cross-window merge: staged_topk keeps top-m per
+    # LANE, and raw [nprobe·out_pad] rows alias every window's bin-j onto
+    # lane j (out_pad % 128 == 0) — merging unreduced windows dropped real
+    # recall (0.92 vs 0.98 XLA at 60k×128 parts)
+    out_pad = pd.shape[1]
+    # non-IP metrics select by raw dot but rank by the true metric below:
+    # wider per-window/merge slack absorbs the i8-norm selection noise
+    # (cos/l2sq lost ~0.036 recall at t=16/kk=k+32 on the blob corpus)
+    slack = 32 if metric == MetricKind.IP else 96
+    t = min(max(k, slack // 2), out_pad)
+    wn, ws = jax.lax.top_k(-pd, t)                         # [P, t]
+    wd = -wn
+    wi = jnp.take_along_axis(pi, ws, axis=1)
+    inv = jnp.argsort(order)                               # sorted pos of pair i
+    r_d = wd[inv[:p0]].reshape(n_q, nprobe * t)            # raw -dot keys
+    r_i = wi[inv[:p0]].reshape(n_q, nprobe * t)
+    kk = min(k + slack, nprobe * t)
+    d1, i1 = _staged_topk(r_d, r_i, kk)                    # [Q, kk]
+
+    safe = jnp.clip(i1, 0, cap2 - 1)
+    alive = valid[safe] & (i1 >= 0)
+    dot = -d1                                              # raw i8 dot
+    q_sq = jnp.sum(qf * qf, axis=1, keepdims=True)         # [Q, 1]
+    if metric == MetricKind.IP:
+        dt = 1.0 - dot
+    elif metric == MetricKind.Cos:
+        t_sq = stats[safe, 0]
+        denom = jnp.sqrt(q_sq) * jnp.sqrt(t_sq)
+        base = 1.0 - dot / jnp.where(denom == 0.0, 1.0, denom)
+        one_zero = (q_sq == 0.0) ^ (t_sq == 0.0)
+        both_zero = (q_sq == 0.0) & (t_sq == 0.0)
+        dt = jnp.where(both_zero, 0.0, jnp.where(one_zero, 1.0, base))
+    elif metric == MetricKind.L2sq:
+        t_sq = stats[safe, 0]
+        dt = jnp.maximum(q_sq + t_sq - 2.0 * dot, 0.0)
+    else:
+        raise ValueError(f"binned probe supports ip/cos/l2sq, got {metric}")
+    dt = jnp.where(alive & (d1 < MASKED / 2), dt, MASKED)
+
+    # drop duplicate rows (window padding overlaps a probed neighbor):
+    # sort by id, mask repeats, then the final exact top-k
+    o = jnp.argsort(i1, axis=1)
+    si = jnp.take_along_axis(i1, o, axis=1)
+    sd = jnp.take_along_axis(dt, o, axis=1)
+    dup = si == jnp.concatenate(
+        [jnp.full((n_q, 1), -2, si.dtype), si[:, :-1]], axis=1
+    )
+    sd = jnp.where(dup, MASKED, sd)
+    neg, pos = jax.lax.top_k(-sd, k)
+    d_out = -neg
+    ids = jnp.take_along_axis(si, pos, axis=1)
+    return d_out, jnp.where(d_out >= MASKED / 2, -1, ids)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 9, 10, 11, 12))

@@ -322,6 +322,183 @@ def _make_grouped_kernel(
     return kernel
 
 
+def _make_binned_probe_kernel(
+    w_pad: int, g: int, wb: int, bw: int, keep: int, out_pad: int
+):
+    """Fold-free grouped probe cell (i8 tables, selection by raw MXU dot).
+
+    The v1 kernels spent ~2× their window time in the k_pad-pass running
+    top-k fold and another ~2× in per-window epilogue/mask passes (measured
+    on-chip: k=1→k=10 DOUBLES the per-window cost; even k=1 sits ~25× off
+    the DMA roofline — scripts/tpu_probe_kernel_profile.py). This kernel
+    deletes all of it:
+
+    - selection key = ((-dot) << 5) | row_in_bin — ONE i32 min-reduce per
+      `bw`-row bin replaces bin_m×(min+argmin) AND carries the argmin in the
+      low bits (i8 dots fit: |dot| ≤ 127²·D < 2^26 for D ≤ 2048);
+    - NO in-kernel top-k fold: each pair-lane emits its own window's
+      per-bin winners (same 1-per-32-rows candidate density the recall-
+      validated bin_m=4@128 kept) and the exact merge runs outside in XLA;
+    - NO off/len window masks and NO aux/penalty DMA: every row of the
+      padded window is a legitimate candidate (neighbor-cluster rows can
+      only help recall); deleted/filtered/pad rows are masked OUTSIDE on
+      the merged top-(k+slack) — ivf.py falls back to the masked path when
+      the live fraction is low;
+    - windows are processed `wb` per loop iteration to amortize the fixed
+      per-iteration scalar/DMA overhead (the dominant term at k=1).
+    """
+    nbw = w_pad // bw
+
+    def kernel(
+        meta_ref,    # [1, 8, g] i32 SMEM — rows: 0 wst, 1 woff, 2 wlen, 3 wcnt
+        q_ref,       # [g, D] i8 VMEM — gathered pair-query rows
+        q_aux_ref,   # [g, 8] f32 VMEM — col 2 = pair widx
+        table_ref,   # [cap2, D] HBM i8
+        out_d_ref,   # [g, out_pad] f32 — raw keyed distance (-dot), MASKED pad
+        out_i_ref,   # [g, out_pad] i32 — global row ids
+        wbuf,        # [2, wb, w_pad, D] VMEM i8
+        acc_d,       # [out_pad, g] f32 scratch
+        acc_i,       # [out_pad, g] i32 scratch
+        sems,        # [2, wb] DMA semaphores
+    ):
+        n_win = meta_ref[0, 3, 0]
+        n_iter = (n_win + wb - 1) // wb
+
+        def win_dma(slot, w):
+            wc = jnp.minimum(w, g - 1)          # meta lane bound (tail windows)
+            s = pl.multiple_of(meta_ref[0, 0, wc], 128)
+            return pltpu.make_async_copy(
+                table_ref.at[pl.ds(s, w_pad), :], wbuf.at[slot], sems.at[slot]
+            )
+
+        def start_iter(slot, it):
+            for wi in range(wb):
+                wc = jnp.minimum(it * wb + wi, g - 1)
+                s = pl.multiple_of(meta_ref[0, 0, wc], 128)
+                pltpu.make_async_copy(
+                    table_ref.at[pl.ds(s, w_pad), :],
+                    wbuf.at[slot, wi],
+                    sems.at[slot, wi],
+                ).start()
+
+        def wait_iter(slot, it):
+            for wi in range(wb):
+                wc = jnp.minimum(it * wb + wi, g - 1)
+                s = pl.multiple_of(meta_ref[0, 0, wc], 128)
+                pltpu.make_async_copy(
+                    table_ref.at[pl.ds(s, w_pad), :],
+                    wbuf.at[slot, wi],
+                    sems.at[slot, wi],
+                ).wait()
+
+        start_iter(0, 0)
+        acc_d[:] = jnp.full_like(acc_d, MASKED)
+        acc_i[:] = jnp.full_like(acc_i, -1)
+        lane_widx = q_aux_ref[:, 2]              # [g] f32 pair→window slot
+
+        def body(it, _):
+            slot = jax.lax.rem(it, 2)
+            nxt = jax.lax.rem(it + 1, 2)
+
+            @pl.when(it + 1 < n_iter)
+            def _prefetch():
+                start_iter(nxt, it + 1)
+
+            wait_iter(slot, it)
+
+            for wi in range(wb):
+                w = it * wb + wi
+                wc = jnp.minimum(w, g - 1)
+                s = meta_ref[0, 0, wc]
+                dots = jax.lax.dot_general(
+                    wbuf[slot, wi],
+                    q_ref[:],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )  # [w_pad, g]
+                sub = jax.lax.broadcasted_iota(jnp.int32, (w_pad, g), 0) & (bw - 1)
+                key = ((-dots) << 5) | sub
+                k3 = key.reshape(nbw, bw, g)
+                base = jax.lax.broadcasted_iota(jnp.int32, (nbw, g), 0) * bw
+                own = lane_widx[None, :] == w.astype(jnp.float32)
+                # top-`keep` per bin: the packed sub bits make keys unique
+                # per row, so masking the exact winner key is tie-safe even
+                # for duplicate vectors
+                for ki in range(keep):
+                    mn = jnp.min(k3, axis=1)                    # [nbw, g]
+                    nd = jax.lax.shift_right_arithmetic(mn, 5)
+                    ids_w = s + base + (mn & (bw - 1))
+                    d_w = nd.astype(jnp.float32)                # raw -dot key
+                    lo = ki * nbw
+                    acc_d[lo:lo + nbw, :] = jnp.where(own, d_w, acc_d[lo:lo + nbw, :])
+                    acc_i[lo:lo + nbw, :] = jnp.where(own, ids_w, acc_i[lo:lo + nbw, :])
+                    if ki + 1 < keep:
+                        k3 = jnp.where(k3 == mn[:, None, :], jnp.int32(2**31 - 1), k3)
+            return 0
+
+        jax.lax.fori_loop(0, n_iter, body, 0)
+        out_d_ref[:] = acc_d[:].T
+        out_i_ref[:] = acc_i[:].T
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+def pallas_ivf_probe_binned(
+    q_g: jnp.ndarray,        # [P, D] i8 gathered pair-query rows; P % g == 0
+    q_aux_g: jnp.ndarray,    # [P, 8] f32: col 2 = pair widx
+    table: jnp.ndarray,      # [cap2, D] i8 dense cluster-major
+    meta: jnp.ndarray,       # [cells, 8, g] i32: rows 0 wst, 1 woff, 2 wlen, 3 wcnt
+    w_pad: int,
+    g: int = 128,
+    bw: int = 16,
+    keep: int = 2,
+    wb: int = 4,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold-free grouped probe. Returns per-PAIR raw keys (-dot as f32,
+    MASKED = empty slot) and GLOBAL row ids for the top-`keep` rows of
+    each bw-row bin of the pair's window: ([P, out_pad] f32, [P, out_pad]
+    i32). Selection is by max inner product on raw i8 dots — callers
+    compute true metric distances for the merged winners outside."""
+    p_total, d_width = q_g.shape
+    cap2 = table.shape[0]
+    assert p_total % g == 0 and w_pad % _LANES == 0 and cap2 >= w_pad
+    assert table.dtype == jnp.int8 and d_width <= 2048
+    assert keep >= 1 and bw >= 2 * keep and bw <= 32
+    nbins = keep * (w_pad // bw)
+    out_pad = ((nbins + _LANES - 1) // _LANES) * _LANES
+    cells = p_total // g
+
+    kernel = _make_binned_probe_kernel(w_pad, g, wb, bw, keep, out_pad)
+    out_d, out_i = pl.pallas_call(
+        kernel,
+        grid=(cells,),
+        in_specs=[
+            pl.BlockSpec((1, 8, g), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, d_width), lambda i: (i, 0)),
+            pl.BlockSpec((g, 8), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, out_pad), lambda i: (i, 0)),
+            pl.BlockSpec((g, out_pad), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((p_total, out_pad), jnp.float32),
+            jax.ShapeDtypeStruct((p_total, out_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, wb, w_pad, d_width), table.dtype),
+            pltpu.VMEM((out_pad, g), jnp.float32),
+            pltpu.VMEM((out_pad, g), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, wb)),
+        ],
+        interpret=interpret,
+    )(meta, q_g, q_aux_g, table)
+    return out_d, out_i
+
+
 @functools.partial(jax.jit, static_argnums=(0, 6, 7, 8, 9, 10))
 def pallas_ivf_probe_grouped(
     metric: MetricKind,
