@@ -339,40 +339,50 @@ def main():
 
     gt_orig = [g for g in gt]  # identity table: positions ARE original ids
 
-    # ---- IVF sweep (B100M_PROBE selects the probe impl: xla|pallas|both) ----
+    # ---- IVF sweep (B100M_PROBE selects the probe impl: xla|...|all) ----
     probe_mode = os.environ.get("B100M_PROBE", "xla")
     impls = []
-    if probe_mode in ("xla", "both", "all"):
-        impls.append("xla")
-    if probe_mode in ("pallas", "both", "all"):
-        impls.append("pallas")
-    if probe_mode in ("group", "all"):
-        impls.append("group")
+    for name in ("xla", "pallas", "group", "bin"):
+        if probe_mode in (name, "all") or (
+            probe_mode == "both" and name in ("xla", "pallas")
+        ):
+            impls.append(name)
     # +128: the pallas probe aligns DMA starts down to 128 rows
     w_pad = max(((p_win + 127) // 128) * 128 + 128, 256)
+
+    def make_ivf(impl, nprobe):
+        if impl == "xla":
+            def ivf(q):
+                return _ivf_probe_search_dense(
+                    MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
+                    starts_dev, lens_dev, D, k_fetch, nprobe, p_win, _DENSE_BLOCK,
+                )[1]
+        elif impl == "pallas":
+            def ivf(q):
+                return _ivf_probe_search_dense_pallas(
+                    MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
+                    starts_dev, lens_dev, k_fetch, nprobe, w_pad,
+                )[1]
+        elif impl == "bin":
+            from usearch_tpu.ivf import _ivf_probe_search_dense_binned
+
+            def ivf(q):
+                return _ivf_probe_search_dense_binned(
+                    MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
+                    starts_dev, lens_dev, k_fetch, nprobe, w_pad,
+                )[1]
+        else:
+            def ivf(q):
+                return _ivf_probe_search_dense_grouped(
+                    MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
+                    starts_dev, lens_dev, k_fetch, nprobe, w_pad,
+                )[1]
+        return ivf
 
     results = []
     for nprobe in NPROBES:
         for impl in impls:
-            if impl == "xla":
-                def ivf(q, nprobe=nprobe):
-                    return _ivf_probe_search_dense(
-                        MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
-                        starts_dev, lens_dev, D, k_fetch, nprobe, p_win, _DENSE_BLOCK,
-                    )[1]
-            elif impl == "pallas":
-                def ivf(q, nprobe=nprobe):
-                    return _ivf_probe_search_dense_pallas(
-                        MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
-                        starts_dev, lens_dev, k_fetch, nprobe, w_pad,
-                    )[1]
-            else:
-                def ivf(q, nprobe=nprobe):
-                    return _ivf_probe_search_dense_grouped(
-                        MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
-                        starts_dev, lens_dev, k_fetch, nprobe, w_pad,
-                    )[1]
-
+            ivf = make_ivf(impl, nprobe)
             _ = np.asarray(ivf(qsets[0]))  # compile + warm
             t1 = time.perf_counter()
             ids1 = np.asarray(ivf(qsets[1]))
@@ -394,25 +404,7 @@ def main():
         nprobe = NPROBES[-1]
 
         for s_impl in impls:
-            if s_impl == "xla":
-                def ivf_s(q, nprobe=nprobe):
-                    return _ivf_probe_search_dense(
-                        MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
-                        starts_dev, lens_dev, D, k_fetch, nprobe, p_win, _DENSE_BLOCK,
-                    )[1]
-            elif s_impl == "pallas":
-                def ivf_s(q, nprobe=nprobe):
-                    return _ivf_probe_search_dense_pallas(
-                        MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
-                        starts_dev, lens_dev, k_fetch, nprobe, w_pad,
-                    )[1]
-            else:
-                def ivf_s(q, nprobe=nprobe):
-                    return _ivf_probe_search_dense_grouped(
-                        MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
-                        starts_dev, lens_dev, k_fetch, nprobe, w_pad,
-                    )[1]
-
+            ivf_s = make_ivf(s_impl, nprobe)
             _ = np.asarray(ivf_s(sq[0]))
             t1 = time.perf_counter()
             ids1 = np.asarray(ivf_s(sq[1]))

@@ -1,0 +1,158 @@
+"""Reference-shape benchmark table (BENCHMARKS.md-comparable rows).
+
+The reference's published numbers (reference: BENCHMARKS.md:20-49, datasets
+§Datasets) are measured on Unum Wiki-1M (f32, 256d, IP), Yandex Deep (f32,
+96d, L2), Yandex Text-to-Image (f32, 200d, cos) and Microsoft SpaceV (i8,
+100d, L2). This environment has zero egress, so each family is stood in by
+a DOCUMENTED synthetic with the same (N, ndim, metric, dtype) and a blob-
+mixture hardness chosen so exact top-10 neighbors are non-trivial (queries
+drawn from the same mixture, sigma=1 around 4·N^(1/3) anchors — the same
+corpus family the 100M bench uses; see bench100m_ivf.py).
+
+Per family it reports, on one chip:
+- add/s through the public host API and with device-resident vectors;
+- exact (pallas binned serving) QPS + recall@1 vs the true exact merge;
+- IVF probed QPS + recall@10 at a few expansion_search points.
+
+Writes BENCH_DATASETS.json and prints a markdown table. Run:
+  nohup python -u bench_datasets.py > /tmp/bench_datasets.log 2>&1 &
+CPU smoke: BD_CPU=1 BD_SCALE=0.02 python bench_datasets.py
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+if os.environ.get("BD_CPU", "0") == "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import usearch_tpu as ut
+
+SCALE = float(os.environ.get("BD_SCALE", "1.0"))
+K = 10
+
+FAMILIES = [
+    # name, N, ndim, metric, dtype, reference row
+    ("wiki-1m-f32-ip", 1_000_000, 256, "ip", "f32", "BENCHMARKS.md:46 (171,856 QPS @ 0.991 r@1)"),
+    ("wiki-1m-i8-ip", 1_000_000, 256, "ip", "i8", "BENCHMARKS.md:49 (274,653 QPS @ 0.989 r@1)"),
+    ("deep-10m-f32-l2", 10_000_000, 96, "l2sq", "i8", "README.md:88 (build 0.2-0.3h at 100M)"),
+    ("t2i-1m-f32-cos", 1_000_000, 200, "cos", "f32", "BENCHMARKS.md datasets (T2I)"),
+    ("spacev-1m-i8-l2", 1_000_000, 100, "l2sq", "i8", "BENCHMARKS.md datasets (SpaceV)"),
+]
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def corpus(n, d, seed):
+    """Blob mixture: 4·n^(1/3) anchors, sigma 1, scale 3 — hard enough that
+    exact top-10 spans multiple anchors; matches the 100M bench family."""
+    rng = np.random.default_rng(seed)
+    nb = max(32, int(4 * n ** (1 / 3)))
+    anchors = (rng.standard_normal((nb, d)) * 3).astype(np.float32)
+    out = np.empty((n, d), np.float32)
+    step = 1 << 20
+    for off in range(0, n, step):
+        m = min(step, n - off)
+        out[off : off + m] = (
+            anchors[rng.integers(0, nb, m)] + rng.standard_normal((m, d))
+        )
+    q = anchors[rng.integers(0, nb, 1024)] + rng.standard_normal((1024, d))
+    return out, q.astype(np.float32)
+
+
+def run_family(name, n, d, metric, dtype, ref):
+    n = max(int(n * SCALE), 20_000)
+    vecs, q = corpus(n, d, seed=42)
+    row = {"family": name, "n": n, "ndim": d, "metric": metric,
+           "dtype": dtype, "reference": ref}
+
+    # host-API add throughput (includes cast + host->device transfer)
+    ix = ut.Index(ndim=d, metric=metric, dtype=dtype, expansion_search=64)
+    n_add = min(n, 131_072)
+    ix.add(np.arange(n_add, dtype=np.uint64), vecs[:n_add])
+    ix.clear()
+    t0 = time.perf_counter()
+    ix.add(np.arange(n_add, dtype=np.uint64), vecs[:n_add])
+    _ = np.asarray(ix._valid[:1])
+    row["add_per_s"] = round(n_add / (time.perf_counter() - t0), 1)
+    log(f"{name}: add {row['add_per_s']:.0f}/s")
+    ix.clear()
+
+    ix.add(None, vecs)
+    # ground truth: the true exact merge
+    t0 = time.perf_counter()
+    gt = ix.search(q, K, exact=True)
+    row["exact_true_qps"] = round(len(q) / (time.perf_counter() - t0), 1)
+    gt_keys = np.asarray(gt.keys)
+
+    # serving exact (pallas binned approx merge) — the high-recall mode
+    m = ix.search(q, K)  # warm/compile
+    t0 = time.perf_counter()
+    m = ix.search(q[::-1].copy(), K)
+    dt = time.perf_counter() - t0
+    got = np.asarray(m.keys)
+    rec1 = float(np.mean(got[:, 0] == gt_keys[::-1][:, 0]))
+    row["exact_serving_qps"] = round(len(q) / dt, 1)
+    row["exact_serving_recall1"] = round(rec1, 4)
+    log(f"{name}: exact-serving {row['exact_serving_qps']:.0f} QPS r@1={rec1:.4f}")
+
+    # IVF probed points
+    parts = max(64, min(65536, n // 1024))
+    t0 = time.perf_counter()
+    ix.optimize(n_partitions=parts, reorder=True)
+    row["ivf_build_s"] = round(time.perf_counter() - t0, 1)
+    row["ivf_parts"] = parts
+    curve = []
+    for es in (16, 64, 256):
+        ix._expansion_search = es
+        mm = ix.search(q, K)  # warm per shape
+        t0 = time.perf_counter()
+        mm = ix.search(q[::-1].copy(), K)
+        dt = time.perf_counter() - t0
+        gk = np.asarray(mm.keys)
+        want = gt_keys[::-1]
+        rec = float(np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / K for a, b in zip(gk, want)
+        ]))
+        curve.append({"expansion_search": es,
+                      "qps": round(len(q) / dt, 1), "recall10": round(rec, 4)})
+        log(f"{name}: ivf es={es} {len(q)/dt:.0f} QPS r@10={rec:.4f}")
+    row["ivf_curve"] = curve
+    return row
+
+
+def main():
+    t_start = time.perf_counter()
+    rows = []
+    for fam in FAMILIES:
+        try:
+            rows.append(run_family(*fam))
+        except Exception as e:  # keep the table going; report the failure
+            log(f"{fam[0]} FAILED: {e}")
+            rows.append({"family": fam[0], "error": str(e)[:200]})
+    with open("BENCH_DATASETS.json", "w") as f:
+        json.dump({"scale": SCALE, "rows": rows}, f, indent=1)
+    # markdown table
+    print("\n| family | N | add/s | exact-serving QPS (r@1) | best IVF point |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        if "error" in r:
+            print(f"| {r['family']} | — | — | FAILED | — |")
+            continue
+        best = max(r["ivf_curve"], key=lambda c: c["qps"] * (c["recall10"] >= 0.9))
+        print(
+            f"| {r['family']} | {r['n']:,} | {r['add_per_s']:,.0f} "
+            f"| {r['exact_serving_qps']:,.0f} ({r['exact_serving_recall1']}) "
+            f"| {best['qps']:,.0f} QPS @ r@10={best['recall10']} (es={best['expansion_search']}) |"
+        )
+    log(f"total {time.perf_counter()-t_start:.0f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -852,7 +852,7 @@ def _ivf_probe_search_dense_binned(
 
     # windows-per-iteration: amortize fixed DMA/scalar overhead without
     # overflowing VMEM (wbuf is [2, wb, w_pad, D] i8)
-    wb = max(1, min(4, (6 << 20) // max(2 * w_pad * d_w, 1)))
+    wb = max(1, min(2, (6 << 20) // max(2 * w_pad * d_w, 1)))
     if bw is None:
         bw = _BIN_BW
     if keep is None:

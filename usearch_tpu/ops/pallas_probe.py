@@ -407,6 +407,10 @@ def _make_binned_probe_kernel(
             wait_iter(slot, it)
 
             for wi in range(wb):
+                # static unroll (dynamic wbuf[slot, wi] indexing inside a
+                # nested fori_loop measured 44 us/window, 5x worse than v1);
+                # wb stays ≤2 to hold the unrolled temporaries under the
+                # 16 MB scoped-VMEM limit
                 w = it * wb + wi
                 wc = jnp.minimum(w, g - 1)
                 s = meta_ref[0, 0, wc]
