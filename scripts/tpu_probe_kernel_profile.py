@@ -105,20 +105,21 @@ for nprobe in (16, 64):
                 f"  ({dt/nw_b*1e6:6.2f} us/window, windows={nw_b},"
                 f" dma {dma_gb:.2f} GB -> {dma_gb/dt:.0f} GB/s eff)"
             )
-    for bw, keep in ((32, 1), (16, 2), (32, 2), (16, 4)):
-        for wb in (1, 2):
+    for sel, bw, keep in (("pack", 32, 4), ("fminarg", 32, 4), ("fminarg", 128, 4)):
+        for wb in (1,):
             try:
                 fn = functools.partial(
                     pallas_probe.pallas_ivf_probe_binned,
                     table=table, w_pad=w_pad, g=G, bw=bw, keep=keep, wb=wb,
+                    sel=sel,
                 )
                 dt = timeit(lambda qg, qa, m: fn(qg, qa, meta=m), a, b)
             except Exception as e:  # VMEM OOM etc: skip config
-                print(f"v2 nprobe={nprobe:3d} keep{keep}@{bw} wb={wb}: FAIL "
+                print(f"v2 nprobe={nprobe:3d} {sel} keep{keep}@{bw} wb={wb}: FAIL "
                       + str(e).split(chr(10))[0][:100])
                 continue
             print(
-                f"v2 nprobe={nprobe:3d} keep{keep}@{bw} wb={wb}: {dt*1e3:8.1f} ms"
+                f"v2 nprobe={nprobe:3d} {sel} keep{keep}@{bw} wb={wb}: {dt*1e3:8.1f} ms"
                 f"  ({dt/nw_b*1e6:6.2f} us/window,"
                 f" dma {dma_gb:.2f} GB -> {dma_gb/dt:.0f} GB/s eff)"
             )

@@ -145,8 +145,10 @@ def run(variant):
     print(f"{variant:9s}: {dt*1e3:8.1f} ms  ({dt/b[3]*1e6:6.2f} us/window, windows={b[3]})")
 
 
-for v in ("dot_only", "sel_none", "sel8", "sel32", "sel32f"):
-    try:
-        run(v)
-    except Exception as e:
-        print(f"{v:9s}: FAIL {str(e).splitlines()[0][:100]}")
+if __name__ == "__main__":
+    variants = sys.argv[1:] or ["dot_only", "sel_none", "sel8", "sel32", "sel32f"]
+    for v in variants:
+        try:
+            run(v)
+        except Exception as e:
+            print(f"{v:9s}: FAIL {str(e).splitlines()[0][:100]}")

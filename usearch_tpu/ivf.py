@@ -57,11 +57,15 @@ _BIN_LIVE_FLOOR = 0.5
 #: binned-kernel candidate granularity: _BIN_KEEP winners per _BIN_BW-row
 #: bin. True neighbors CONCENTRATE (often in one cluster window, sometimes
 #: in adjacent duplicate rows), so wide single-winner bins lose same-bin
-#: collisions (measured 1@32: recall 0.83 vs 0.98 XLA at 60k rows / 128
-#: parts; 1@8: 0.95). keep=2 costs ~3 extra VPU passes but survives
-#: adjacent duplicates; density = keep/bw rows.
-_BIN_BW = int(_os.environ.get("USEARCH_TPU_BIN_BW", "16"))
-_BIN_KEEP = int(_os.environ.get("USEARCH_TPU_BIN_KEEP", "2"))
+#: collisions (measured at 60k rows / 128 parts vs XLA 0.9844: 1@32 →
+#: 0.826, 2@16 → 0.9938, 4@32 → 0.9984). bw MUST stay 32 on TPU — the
+#: Mosaic sublane reduce over 16-row groups crashes the compiler; keep=4
+#: restores within-bin flexibility at the same 1/8 candidate density.
+_BIN_BW = int(_os.environ.get("USEARCH_TPU_BIN_BW", "32"))
+_BIN_KEEP = int(_os.environ.get("USEARCH_TPU_BIN_KEEP", "4"))
+#: in-kernel bin-select primitive: "pack" (i32 packed-key min) or
+#: "fminarg" (f32 min+argmin rounds, the v1 kernel's extract)
+_BIN_SEL = _os.environ.get("USEARCH_TPU_BIN_SEL", "pack")
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -858,7 +862,7 @@ def _ivf_probe_search_dense_binned(
     if keep is None:
         keep = _BIN_KEEP
     pd, pi = pallas_ivf_probe_binned(
-        q_g, q_aux_g, table, meta, w_pad, g, bw, keep, wb,
+        q_g, q_aux_g, table, meta, w_pad, g, bw, keep, wb, _BIN_SEL,
         jax.default_backend() == "cpu",
     )
 

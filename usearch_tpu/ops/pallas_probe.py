@@ -323,7 +323,8 @@ def _make_grouped_kernel(
 
 
 def _make_binned_probe_kernel(
-    w_pad: int, g: int, wb: int, bw: int, keep: int, out_pad: int
+    w_pad: int, g: int, wb: int, bw: int, keep: int, out_pad: int,
+    sel: str = "pack",
 ):
     """Fold-free grouped probe cell (i8 tables, selection by raw MXU dot).
 
@@ -420,24 +421,41 @@ def _make_binned_probe_kernel(
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )  # [w_pad, g]
-                sub = jax.lax.broadcasted_iota(jnp.int32, (w_pad, g), 0) & (bw - 1)
-                key = ((-dots) << 5) | sub
-                k3 = key.reshape(nbw, bw, g)
-                base = jax.lax.broadcasted_iota(jnp.int32, (nbw, g), 0) * bw
                 own = lane_widx[None, :] == w.astype(jnp.float32)
-                # top-`keep` per bin: the packed sub bits make keys unique
-                # per row, so masking the exact winner key is tie-safe even
-                # for duplicate vectors
-                for ki in range(keep):
-                    mn = jnp.min(k3, axis=1)                    # [nbw, g]
-                    nd = jax.lax.shift_right_arithmetic(mn, 5)
-                    ids_w = s + base + (mn & (bw - 1))
-                    d_w = nd.astype(jnp.float32)                # raw -dot key
-                    lo = ki * nbw
-                    acc_d[lo:lo + nbw, :] = jnp.where(own, d_w, acc_d[lo:lo + nbw, :])
-                    acc_i[lo:lo + nbw, :] = jnp.where(own, ids_w, acc_i[lo:lo + nbw, :])
-                    if ki + 1 < keep:
-                        k3 = jnp.where(k3 == mn[:, None, :], jnp.int32(2**31 - 1), k3)
+                if sel == "pack":
+                    # top-`keep` per bw-row bin on packed i32 keys: the sub
+                    # bits make keys unique per row, so masking the exact
+                    # winner key is tie-safe even for duplicate vectors
+                    sub = jax.lax.broadcasted_iota(jnp.int32, (w_pad, g), 0) & (bw - 1)
+                    key = ((-dots) << 5) | sub
+                    k3 = key.reshape(nbw, bw, g)
+                    base = jax.lax.broadcasted_iota(jnp.int32, (nbw, g), 0) * bw
+                    for ki in range(keep):
+                        mn = jnp.min(k3, axis=1)                # [nbw, g]
+                        nd = jax.lax.shift_right_arithmetic(mn, 5)
+                        ids_w = s + base + (mn & (bw - 1))
+                        d_w = nd.astype(jnp.float32)            # raw -dot key
+                        lo = ki * nbw
+                        acc_d[lo:lo + nbw, :] = jnp.where(own, d_w, acc_d[lo:lo + nbw, :])
+                        acc_i[lo:lo + nbw, :] = jnp.where(own, ids_w, acc_i[lo:lo + nbw, :])
+                        if ki + 1 < keep:
+                            k3 = jnp.where(k3 == mn[:, None, :], jnp.int32(2**31 - 1), k3)
+                else:
+                    # "fminarg": f32 min+argmin rounds over bw-row bins with
+                    # position masking — the v1 grouped kernel's proven-fast
+                    # bin-extract primitive, minus its fold/epilogue/masks
+                    d3 = (-dots).astype(jnp.float32).reshape(nbw, bw, g)
+                    sub3 = jax.lax.broadcasted_iota(jnp.int32, (nbw, bw, g), 1)
+                    base = jax.lax.broadcasted_iota(jnp.int32, (nbw, g), 0) * bw
+                    for ki in range(keep):
+                        mn = jnp.min(d3, axis=1)                # [nbw, g]
+                        am = jnp.argmin(d3, axis=1).astype(jnp.int32)
+                        ids_w = s + base + am
+                        lo = ki * nbw
+                        acc_d[lo:lo + nbw, :] = jnp.where(own, mn, acc_d[lo:lo + nbw, :])
+                        acc_i[lo:lo + nbw, :] = jnp.where(own, ids_w, acc_i[lo:lo + nbw, :])
+                        if ki + 1 < keep:
+                            d3 = jnp.where(sub3 == am[:, None, :], MASKED, d3)
             return 0
 
         jax.lax.fori_loop(0, n_iter, body, 0)
@@ -447,7 +465,7 @@ def _make_binned_probe_kernel(
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
 def pallas_ivf_probe_binned(
     q_g: jnp.ndarray,        # [P, D] i8 gathered pair-query rows; P % g == 0
     q_aux_g: jnp.ndarray,    # [P, 8] f32: col 2 = pair widx
@@ -455,9 +473,10 @@ def pallas_ivf_probe_binned(
     meta: jnp.ndarray,       # [cells, 8, g] i32: rows 0 wst, 1 woff, 2 wlen, 3 wcnt
     w_pad: int,
     g: int = 128,
-    bw: int = 16,
-    keep: int = 2,
-    wb: int = 4,
+    bw: int = 32,
+    keep: int = 4,
+    wb: int = 1,
+    sel: str = "pack",
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fold-free grouped probe. Returns per-PAIR raw keys (-dot as f32,
@@ -469,12 +488,13 @@ def pallas_ivf_probe_binned(
     cap2 = table.shape[0]
     assert p_total % g == 0 and w_pad % _LANES == 0 and cap2 >= w_pad
     assert table.dtype == jnp.int8 and d_width <= 2048
-    assert keep >= 1 and bw >= 2 * keep and bw <= 32
+    assert keep >= 1 and bw >= 2 * keep
+    assert bw <= (32 if sel == "pack" else 128)  # pack carries 5 sub bits
     nbins = keep * (w_pad // bw)
     out_pad = ((nbins + _LANES - 1) // _LANES) * _LANES
     cells = p_total // g
 
-    kernel = _make_binned_probe_kernel(w_pad, g, wb, bw, keep, out_pad)
+    kernel = _make_binned_probe_kernel(w_pad, g, wb, bw, keep, out_pad, sel)
     out_d, out_i = pl.pallas_call(
         kernel,
         grid=(cells,),
