@@ -358,12 +358,11 @@ def _make_binned_probe_kernel(
         out_d_ref,   # [g, out_pad] f32 — raw keyed distance (-dot), MASKED pad
         out_i_ref,   # [g, out_pad] i32 — global row ids
         wbuf,        # [2, wb, w_pad, D] VMEM i8
-        acc_d,       # [out_pad, g] f32 scratch
-        acc_i,       # [out_pad, g] i32 scratch
         sems,        # [2, wb] DMA semaphores
     ):
         n_win = meta_ref[0, 3, 0]
         n_iter = (n_win + wb - 1) // wb
+        n_cand = keep * nbw
 
         def win_dma(slot, w):
             wc = jnp.minimum(w, g - 1)          # meta lane bound (tail windows)
@@ -393,11 +392,15 @@ def _make_binned_probe_kernel(
                 ).wait()
 
         start_iter(0, 0)
-        acc_d[:] = jnp.full_like(acc_d, MASKED)
-        acc_i[:] = jnp.full_like(acc_i, -1)
         lane_widx = q_aux_ref[:, 2]              # [g] f32 pair→window slot
 
-        def body(it, _):
+        def body(it, carry):
+            # the accumulator is a LOOP-CARRIED VALUE, not a scratch ref:
+            # misaligned ref-slice stores (acc[lo:lo+nbw] with nbw % 8 != 0)
+            # measured ~40 us/window of pure store overhead and crashed the
+            # Mosaic compiler at keep=4 — full-array value `where` is one
+            # aligned VPU pass
+            acc_d, acc_i = carry
             slot = jax.lax.rem(it, 2)
             nxt = jax.lax.rem(it + 1, 2)
 
@@ -422,6 +425,8 @@ def _make_binned_probe_kernel(
                     preferred_element_type=jnp.int32,
                 )  # [w_pad, g]
                 own = lane_widx[None, :] == w.astype(jnp.float32)
+                bds = []
+                bis = []
                 if sel == "pack":
                     # top-`keep` per bw-row bin on packed i32 keys: the sub
                     # bits make keys unique per row, so masking the exact
@@ -433,11 +438,8 @@ def _make_binned_probe_kernel(
                     for ki in range(keep):
                         mn = jnp.min(k3, axis=1)                # [nbw, g]
                         nd = jax.lax.shift_right_arithmetic(mn, 5)
-                        ids_w = s + base + (mn & (bw - 1))
-                        d_w = nd.astype(jnp.float32)            # raw -dot key
-                        lo = ki * nbw
-                        acc_d[lo:lo + nbw, :] = jnp.where(own, d_w, acc_d[lo:lo + nbw, :])
-                        acc_i[lo:lo + nbw, :] = jnp.where(own, ids_w, acc_i[lo:lo + nbw, :])
+                        bds.append(nd.astype(jnp.float32))      # raw -dot key
+                        bis.append(s + base + (mn & (bw - 1)))
                         if ki + 1 < keep:
                             k3 = jnp.where(k3 == mn[:, None, :], jnp.int32(2**31 - 1), k3)
                 else:
@@ -450,17 +452,30 @@ def _make_binned_probe_kernel(
                     for ki in range(keep):
                         mn = jnp.min(d3, axis=1)                # [nbw, g]
                         am = jnp.argmin(d3, axis=1).astype(jnp.int32)
-                        ids_w = s + base + am
-                        lo = ki * nbw
-                        acc_d[lo:lo + nbw, :] = jnp.where(own, mn, acc_d[lo:lo + nbw, :])
-                        acc_i[lo:lo + nbw, :] = jnp.where(own, ids_w, acc_i[lo:lo + nbw, :])
+                        bds.append(mn)
+                        bis.append(s + base + am)
                         if ki + 1 < keep:
                             d3 = jnp.where(sub3 == am[:, None, :], MASKED, d3)
-            return 0
+                if out_pad > n_cand:
+                    bds.append(jnp.full((out_pad - n_cand, g), MASKED))
+                    bis.append(jnp.full((out_pad - n_cand, g), -1, jnp.int32))
+                cand_d = jnp.concatenate(bds, axis=0)           # [out_pad, g]
+                cand_i = jnp.concatenate(bis, axis=0)
+                acc_d = jnp.where(own, cand_d, acc_d)
+                acc_i = jnp.where(own, cand_i, acc_i)
+            return acc_d, acc_i
 
-        jax.lax.fori_loop(0, n_iter, body, 0)
-        out_d_ref[:] = acc_d[:].T
-        out_i_ref[:] = acc_i[:].T
+        acc_d, acc_i = jax.lax.fori_loop(
+            0,
+            n_iter,
+            body,
+            (
+                jnp.full((out_pad, g), MASKED, jnp.float32),
+                jnp.full((out_pad, g), -1, jnp.int32),
+            ),
+        )
+        out_d_ref[:] = acc_d.T
+        out_i_ref[:] = acc_i.T
 
     return kernel
 
@@ -514,8 +529,6 @@ def pallas_ivf_probe_binned(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, wb, w_pad, d_width), table.dtype),
-            pltpu.VMEM((out_pad, g), jnp.float32),
-            pltpu.VMEM((out_pad, g), jnp.int32),
             pltpu.SemaphoreType.DMA((2, wb)),
         ],
         interpret=interpret,
