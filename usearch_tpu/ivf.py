@@ -58,11 +58,11 @@ _BIN_LIVE_FLOOR = 0.5
 #: bin. True neighbors CONCENTRATE (often in one cluster window, sometimes
 #: in adjacent duplicate rows), so wide single-winner bins lose same-bin
 #: collisions (measured at 60k rows / 128 parts vs XLA 0.9844: 1@32 →
-#: 0.826, 2@16 → 0.9938, 4@32 → 0.9984). bw MUST stay 32 on TPU — the
-#: Mosaic sublane reduce over 16-row groups crashes the compiler; keep=4
-#: restores within-bin flexibility at the same 1/8 candidate density.
-_BIN_BW = int(_os.environ.get("USEARCH_TPU_BIN_BW", "32"))
-_BIN_KEEP = int(_os.environ.get("USEARCH_TPU_BIN_KEEP", "4"))
+#: 0.826, 1@8 → 0.9961, 4@32 → 0.9984). Mosaic constraints force the
+#: default to keep=1 @ bw=8 (native sublane tile, one min pass): bw=16
+#: reduces and keep>1 masking rounds crash the TPU compiler.
+_BIN_BW = int(_os.environ.get("USEARCH_TPU_BIN_BW", "8"))
+_BIN_KEEP = int(_os.environ.get("USEARCH_TPU_BIN_KEEP", "1"))
 #: in-kernel bin-select primitive: "pack" (i32 packed-key min) or
 #: "fminarg" (f32 min+argmin rounds, the v1 kernel's extract)
 _BIN_SEL = _os.environ.get("USEARCH_TPU_BIN_SEL", "pack")
@@ -517,10 +517,17 @@ class IVFPartitions:
                 )
                 if _PROBE_MODE == "pair":
                     return _ivf_probe_search_dense_pallas(*args)
-                if self._binned_ok(index, valid, k, nprobe, w_pad):
+                if _PROBE_MODE == "bin" and self._binned_ok(
+                    index, valid, k, nprobe, w_pad
+                ):
                     return _ivf_probe_search_dense_binned(
                         *args, 128, _BIN_BW, _BIN_KEEP
                     )
+                if _PROBE_MODE in ("nofold", "bin") and k <= 64:
+                    # bin_m=4 per 128-row bin covers k ≤ their per-window
+                    # candidate budget comfortably up to k=64 with nprobe
+                    # windows merged outside
+                    return _ivf_probe_search_dense_nofold(*args)
                 return _ivf_probe_search_dense_grouped(*args)
             return _ivf_probe_search_dense(
                 index._metric_kind,
@@ -807,6 +814,75 @@ def _binned_pairs(q, probes, starts, lens, cap2, w_pad, nprobe, g):
     meta = meta.at[:, 3, :].set(wcnt[:, None])
     q_g = q[qid_s]
     return q_g, qid_s, widx, meta, order, p0, p_total
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 9, 10, 11, 12, 13))
+def _ivf_probe_search_dense_nofold(
+    metric: MetricKind,
+    kind: ScalarKind,
+    q,                # [Q, D] storage dtype
+    valid,            # [cap2] bool (deletions ∧ filter ∧ fresh)
+    centroids,        # [C, D] f32
+    table,            # [cap2, D] dense cluster-major
+    stats,            # [cap2, 2] f32
+    starts,           # [C] i32
+    lens,             # [C] i32
+    k: int,
+    nprobe: int,
+    w_pad: int,
+    g: int = 128,
+    bin_m: int = 4,
+):
+    """Fold-free grouped probe: the v1 kernel with its in-kernel running
+    top-k fold deleted (the fold alone DOUBLED per-window cost). The
+    kernel emits each pair's bin_m-per-128-row-bin candidates with FINAL
+    metric distances (epilogue + off/len/lane masks + deleted-row penalty
+    all unchanged in-kernel); the exact merge is a per-window top-t plus
+    one staged top-k outside. Selection semantics — and therefore recall —
+    are identical to the v1 grouped kernel's recall-proven extract."""
+    from .ops.pallas_probe import pallas_ivf_probe_grouped_nofold
+
+    n_q, d_w = q.shape
+    cap2 = table.shape[0]
+    qf = q.astype(jnp.float32)
+    cdist = _score_centroids(metric, qf, centroids, lens)
+    _, probes = jax.lax.top_k(-cdist, nprobe)              # [Q, nprobe]
+
+    q_g, qid_s, widx, meta, order, p0, p_total = _binned_pairs(
+        q, probes, starts, lens, cap2, w_pad, nprobe, g
+    )
+    q_sq = jnp.sum(qf * qf, axis=1)
+    q_sum = jnp.sum(qf, axis=1)
+    q_aux_g = jnp.zeros((p_total, 8), jnp.float32)
+    q_aux_g = q_aux_g.at[:, 0].set(q_sq[qid_s])
+    q_aux_g = q_aux_g.at[:, 1].set(q_sum[qid_s])
+    q_aux_g = q_aux_g.at[:, 2].set(widx.reshape(-1).astype(jnp.float32))
+
+    penalty = jnp.where(valid, 0.0, MASKED).astype(jnp.float32)
+    if metric == MetricKind.IP:
+        t_aux = penalty[None, :]
+    else:
+        t_aux = jnp.stack(
+            [stats[:, 0], stats[:, 1], penalty, jnp.zeros_like(penalty)], axis=0
+        )
+
+    pd, pi = pallas_ivf_probe_grouped_nofold(
+        metric, q_g, q_aux_g, table, t_aux, meta, w_pad, g, bin_m,
+        jax.default_backend() == "cpu",
+    )
+
+    # exact per-window top-t (width ≤ a few lane rows), then the staged
+    # cross-window merge in original pair order
+    out_pad = pd.shape[1]
+    t = min(max(k, 16), out_pad)
+    wn, ws = jax.lax.top_k(-pd, t)                         # [P, t]
+    wd = -wn
+    wi = jnp.take_along_axis(pi, ws, axis=1)
+    inv = jnp.argsort(order)
+    r_d = wd[inv[:p0]].reshape(n_q, nprobe * t)
+    r_i = wi[inv[:p0]].reshape(n_q, nprobe * t)
+    d_out, ids = _staged_topk(r_d, r_i, k)
+    return d_out, jnp.where(d_out >= MASKED / 2, -1, ids)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 9, 10, 11, 12, 13, 14))

@@ -322,6 +322,171 @@ def _make_grouped_kernel(
     return kernel
 
 
+def _make_grouped_nofold_kernel(
+    metric: MetricKind, w_pad: int, g: int, bin_m: int, out_pad: int
+):
+    """_make_grouped_kernel with the k_pad-pass running fold DELETED: each
+    pair-lane's window bin-candidates (bin_m per 128-row bin, the recall-
+    proven extract) land directly in a wide accumulator via one aligned
+    full-array where; the exact top-k merge runs outside in XLA. The fold
+    was measured to DOUBLE the per-window cost (k=1 → k=10: 6.4 → 13.4
+    us/window, scripts/tpu_probe_kernel_profile.py); everything else —
+    DMA pattern, epilogue, off/len/lane masks, bin extract — is
+    byte-identical to the proven kernel, so distances are final metric
+    values and deleted/filtered rows are already penalty-masked."""
+    nb_w = w_pad // _LANES
+    n_cand = bin_m * nb_w
+
+    def kernel(
+        meta_ref,    # [1, 8, g] i32 SMEM — rows: 0 wst, 1 woff, 2 wlen, 3 wcnt
+        q_ref,       # [g, D] VMEM — gathered pair-query rows
+        q_aux_ref,   # [g, 8] VMEM f32 — cols: 0 q_sq, 1 q_sum, 2 pair widx
+        table_ref,   # [cap2, D] HBM
+        t_aux_ref,   # [aux_rows, cap2] HBM f32
+        out_d_ref,   # [g, out_pad] f32
+        out_i_ref,   # [g, out_pad] i32
+        wbuf,        # [2, w_pad, D] VMEM scratch
+        abuf,        # [2, aux_rows, w_pad] VMEM f32 scratch
+        acc_d,       # [out_pad, g] f32 scratch
+        acc_i,       # [out_pad, g] i32 scratch
+        sems,        # [2, 2] DMA semaphores
+    ):
+        n_win = meta_ref[0, 3, 0]
+        acc_t = jnp.int32 if q_ref.dtype == jnp.int8 else jnp.float32
+
+        def win_dma(slot, w):
+            s = pl.multiple_of(meta_ref[0, 0, w], 128)
+            return pltpu.make_async_copy(
+                table_ref.at[pl.ds(s, w_pad), :], wbuf.at[slot], sems.at[slot, 0]
+            )
+
+        def aux_dma(slot, w):
+            s = pl.multiple_of(meta_ref[0, 0, w], 128)
+            return pltpu.make_async_copy(
+                t_aux_ref.at[:, pl.ds(s, w_pad)], abuf.at[slot], sems.at[slot, 1]
+            )
+
+        win_dma(0, 0).start()
+        aux_dma(0, 0).start()
+        acc_d[:] = jnp.full_like(acc_d, MASKED)
+        acc_i[:] = jnp.full_like(acc_i, -1)
+        q_sq = q_aux_ref[:, 0]
+        lane_widx = q_aux_ref[:, 2]  # [g] f32
+
+        def body(w, _):
+            slot = jax.lax.rem(w, 2)
+            nxt = jax.lax.rem(w + 1, 2)
+
+            @pl.when(w + 1 < n_win)
+            def _prefetch():
+                win_dma(nxt, w + 1).start()
+                aux_dma(nxt, w + 1).start()
+
+            win_dma(slot, w).wait()
+            aux_dma(slot, w).wait()
+
+            s = meta_ref[0, 0, w]
+            off = meta_ref[0, 1, w]
+            ln = meta_ref[0, 2, w]
+
+            dots = jax.lax.dot_general(
+                wbuf[slot],
+                q_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=acc_t,
+            )  # [w_pad, g] — ONE matmul for every pair probing this window
+            d = _window_dists(metric, dots, q_sq, abuf[slot])
+
+            r = jax.lax.broadcasted_iota(jnp.int32, (w_pad, g), 0)
+            own = lane_widx[None, :] == w.astype(jnp.float32)
+            keep = (r >= off) & (r < off + ln) & own
+            d = jnp.where(keep, d, MASKED)
+
+            d3 = d.reshape(nb_w, _LANES, g)
+            sub3 = jax.lax.broadcasted_iota(jnp.int32, (nb_w, _LANES, g), 1)
+            base = jax.lax.broadcasted_iota(jnp.int32, (nb_w, g), 0) * _LANES
+            bds = []
+            bis = []
+            for _i in range(bin_m):
+                mn = jnp.min(d3, axis=1)
+                am = jnp.argmin(d3, axis=1).astype(jnp.int32)
+                bds.append(mn)
+                bis.append(s + base + am)
+                if _i + 1 < bin_m:
+                    d3 = jnp.where(sub3 == am[:, None, :], MASKED, d3)
+            if out_pad > n_cand:
+                bds.append(jnp.full((out_pad - n_cand, g), MASKED))
+                bis.append(jnp.full((out_pad - n_cand, g), -1, jnp.int32))
+            bin_d = jnp.concatenate(bds, axis=0)     # [out_pad, g]
+            bin_i = jnp.concatenate(bis, axis=0)
+            acc_d[:, :] = jnp.where(own, bin_d, acc_d[:, :])
+            acc_i[:, :] = jnp.where(own, bin_i, acc_i[:, :])
+            return 0
+
+        jax.lax.fori_loop(0, n_win, body, 0)
+        out_d_ref[:] = acc_d[:].T
+        out_i_ref[:] = acc_i[:].T
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6, 7, 8, 9))
+def pallas_ivf_probe_grouped_nofold(
+    metric: MetricKind,
+    q_g: jnp.ndarray,        # [P, D] gathered pair-query rows; P % g == 0
+    q_aux_g: jnp.ndarray,    # [P, 8] f32: cols 0 q_sq, 1 q_sum, 2 pair widx
+    table: jnp.ndarray,      # [cap2, D] dense cluster-major
+    t_aux: jnp.ndarray,      # [aux_rows, cap2] f32
+    meta: jnp.ndarray,       # [cells, 8, g] i32
+    w_pad: int,
+    g: int = 128,
+    bin_m: int = 4,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold-free grouped probe: per-PAIR final metric distances + GLOBAL
+    row ids for the top-bin_m rows of each 128-row bin of the pair's
+    window ([P, out_pad] f32 ascending-unsorted, [P, out_pad] i32;
+    MASKED/-1 = empty slot). Callers merge outside (exact top-k)."""
+    p_total, d_width = q_g.shape
+    cap2 = table.shape[0]
+    aux_rows = t_aux.shape[0]
+    assert p_total % g == 0 and w_pad % _LANES == 0 and cap2 >= w_pad
+    n_cand = bin_m * (w_pad // _LANES)
+    out_pad = ((n_cand + _LANES - 1) // _LANES) * _LANES
+    cells = p_total // g
+
+    kernel = _make_grouped_nofold_kernel(metric, w_pad, g, bin_m, out_pad)
+    out_d, out_i = pl.pallas_call(
+        kernel,
+        grid=(cells,),
+        in_specs=[
+            pl.BlockSpec((1, 8, g), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, d_width), lambda i: (i, 0)),
+            pl.BlockSpec((g, 8), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, out_pad), lambda i: (i, 0)),
+            pl.BlockSpec((g, out_pad), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((p_total, out_pad), jnp.float32),
+            jax.ShapeDtypeStruct((p_total, out_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, w_pad, d_width), table.dtype),
+            pltpu.VMEM((2, aux_rows, w_pad), jnp.float32),
+            pltpu.VMEM((out_pad, g), jnp.float32),
+            pltpu.VMEM((out_pad, g), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(meta, q_g, q_aux_g, table, t_aux)
+    d_out = out_d
+    return d_out, jnp.where(d_out >= MASKED / 2, -1, out_i)
+
+
 def _make_binned_probe_kernel(
     w_pad: int, g: int, wb: int, bw: int, keep: int, out_pad: int,
     sel: str = "pack",
@@ -358,49 +523,54 @@ def _make_binned_probe_kernel(
         out_d_ref,   # [g, out_pad] f32 — raw keyed distance (-dot), MASKED pad
         out_i_ref,   # [g, out_pad] i32 — global row ids
         wbuf,        # [2, wb, w_pad, D] VMEM i8
+        acc_d,       # [out_pad, g] f32 scratch
+        acc_i,       # [out_pad, g] i32 scratch
         sems,        # [2, wb] DMA semaphores
     ):
         n_win = meta_ref[0, 3, 0]
         n_iter = (n_win + wb - 1) // wb
         n_cand = keep * nbw
 
-        def win_dma(slot, w):
-            wc = jnp.minimum(w, g - 1)          # meta lane bound (tail windows)
-            s = pl.multiple_of(meta_ref[0, 0, wc], 128)
-            return pltpu.make_async_copy(
-                table_ref.at[pl.ds(s, w_pad), :], wbuf.at[slot], sems.at[slot]
-            )
+        def _wslice(slot, wi):
+            # wb == 1 keeps the 3-D [2, w_pad, D] buffer of the proven v1
+            # kernels — a 4-D destination slice de-pipelines the DMA
+            return wbuf.at[slot] if wb == 1 else wbuf.at[slot, wi]
+
+        def _wc(it, wi):
+            # wb == 1 never reads past lane n_win-1 ≤ g-1; only multi-window
+            # batches can step past the meta lane bound on the tail
+            w = it * wb + wi
+            return w if wb == 1 else jnp.minimum(w, g - 1)
 
         def start_iter(slot, it):
             for wi in range(wb):
-                wc = jnp.minimum(it * wb + wi, g - 1)
-                s = pl.multiple_of(meta_ref[0, 0, wc], 128)
+                s = pl.multiple_of(meta_ref[0, 0, _wc(it, wi)], 128)
                 pltpu.make_async_copy(
                     table_ref.at[pl.ds(s, w_pad), :],
-                    wbuf.at[slot, wi],
+                    _wslice(slot, wi),
                     sems.at[slot, wi],
                 ).start()
 
         def wait_iter(slot, it):
             for wi in range(wb):
-                wc = jnp.minimum(it * wb + wi, g - 1)
-                s = pl.multiple_of(meta_ref[0, 0, wc], 128)
+                s = pl.multiple_of(meta_ref[0, 0, _wc(it, wi)], 128)
                 pltpu.make_async_copy(
                     table_ref.at[pl.ds(s, w_pad), :],
-                    wbuf.at[slot, wi],
+                    _wslice(slot, wi),
                     sems.at[slot, wi],
                 ).wait()
 
         start_iter(0, 0)
+        acc_d[:] = jnp.full_like(acc_d, MASKED)
+        acc_i[:] = jnp.full_like(acc_i, -1)
         lane_widx = q_aux_ref[:, 2]              # [g] f32 pair→window slot
 
-        def body(it, carry):
-            # the accumulator is a LOOP-CARRIED VALUE, not a scratch ref:
-            # misaligned ref-slice stores (acc[lo:lo+nbw] with nbw % 8 != 0)
-            # measured ~40 us/window of pure store overhead and crashed the
-            # Mosaic compiler at keep=4 — full-array value `where` is one
-            # aligned VPU pass
-            acc_d, acc_i = carry
+        def body(it, _):
+            # Mosaic constraints mapped the hard way: misaligned ref-slice
+            # stores (acc[lo:lo+nbw], nbw % 8 != 0) cost ~40 us/window;
+            # loop-carried vector tuples and keep>1 masking rounds crash
+            # the compiler outright. The surviving shape: scratch refs
+            # updated by ONE full-array aligned where per window.
             slot = jax.lax.rem(it, 2)
             nxt = jax.lax.rem(it + 1, 2)
 
@@ -416,15 +586,17 @@ def _make_binned_probe_kernel(
                 # wb stays ≤2 to hold the unrolled temporaries under the
                 # 16 MB scoped-VMEM limit
                 w = it * wb + wi
-                wc = jnp.minimum(w, g - 1)
-                s = meta_ref[0, 0, wc]
+                s = meta_ref[0, 0, _wc(it, wi)]
                 dots = jax.lax.dot_general(
-                    wbuf[slot, wi],
+                    wbuf[slot] if wb == 1 else wbuf[slot, wi],
                     q_ref[:],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )  # [w_pad, g]
                 own = lane_widx[None, :] == w.astype(jnp.float32)
+                if sel == "dotonly":    # diagnostic: DMA + MXU + loop floor
+                    acc_d[:8, :] = acc_d[:8, :] + dots[:8, :].astype(jnp.float32)
+                    continue
                 bds = []
                 bis = []
                 if sel == "pack":
@@ -461,21 +633,13 @@ def _make_binned_probe_kernel(
                     bis.append(jnp.full((out_pad - n_cand, g), -1, jnp.int32))
                 cand_d = jnp.concatenate(bds, axis=0)           # [out_pad, g]
                 cand_i = jnp.concatenate(bis, axis=0)
-                acc_d = jnp.where(own, cand_d, acc_d)
-                acc_i = jnp.where(own, cand_i, acc_i)
-            return acc_d, acc_i
+                acc_d[:, :] = jnp.where(own, cand_d, acc_d[:, :])
+                acc_i[:, :] = jnp.where(own, cand_i, acc_i[:, :])
+            return 0
 
-        acc_d, acc_i = jax.lax.fori_loop(
-            0,
-            n_iter,
-            body,
-            (
-                jnp.full((out_pad, g), MASKED, jnp.float32),
-                jnp.full((out_pad, g), -1, jnp.int32),
-            ),
-        )
-        out_d_ref[:] = acc_d.T
-        out_i_ref[:] = acc_i.T
+        jax.lax.fori_loop(0, n_iter, body, 0)
+        out_d_ref[:] = acc_d[:].T
+        out_i_ref[:] = acc_i[:].T
 
     return kernel
 
@@ -488,8 +652,8 @@ def pallas_ivf_probe_binned(
     meta: jnp.ndarray,       # [cells, 8, g] i32: rows 0 wst, 1 woff, 2 wlen, 3 wcnt
     w_pad: int,
     g: int = 128,
-    bw: int = 32,
-    keep: int = 4,
+    bw: int = 8,
+    keep: int = 1,
     wb: int = 1,
     sel: str = "pack",
     interpret: bool = False,
@@ -528,7 +692,12 @@ def pallas_ivf_probe_binned(
             jax.ShapeDtypeStruct((p_total, out_pad), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, wb, w_pad, d_width), table.dtype),
+            pltpu.VMEM(
+                (2, w_pad, d_width) if wb == 1 else (2, wb, w_pad, d_width),
+                table.dtype,
+            ),
+            pltpu.VMEM((out_pad, g), jnp.float32),
+            pltpu.VMEM((out_pad, g), jnp.int32),
             pltpu.SemaphoreType.DMA((2, wb)),
         ],
         interpret=interpret,
