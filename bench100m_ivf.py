@@ -342,7 +342,7 @@ def main():
     # ---- IVF sweep (B100M_PROBE selects the probe impl: xla|...|all) ----
     probe_mode = os.environ.get("B100M_PROBE", "xla")
     impls = []
-    for name in ("xla", "pallas", "group", "bin"):
+    for name in ("xla", "pallas", "group", "bin", "nofold"):
         if probe_mode in (name, "all") or (
             probe_mode == "both" and name in ("xla", "pallas")
         ):
@@ -368,6 +368,14 @@ def main():
 
             def ivf(q):
                 return _ivf_probe_search_dense_binned(
+                    MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
+                    starts_dev, lens_dev, k_fetch, nprobe, w_pad,
+                )[1]
+        elif impl == "nofold":
+            from usearch_tpu.ivf import _ivf_probe_search_dense_nofold
+
+            def ivf(q):
+                return _ivf_probe_search_dense_nofold(
                     MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
                     starts_dev, lens_dev, k_fetch, nprobe, w_pad,
                 )[1]

@@ -46,12 +46,12 @@ def _recall(got, gt, k):
     )
 
 
-def _build(vecs, mode, metric="ip", parts=64):
+def _build(vecs, mode, metric="ip", parts=64, es=192):
     old_mode = iv._PROBE_MODE
     iv._PROBE_MODE = mode
     try:
         ix = ut.Index(ndim=vecs.shape[1], metric=metric, dtype="i8",
-                      expansion_search=192)
+                      expansion_search=es)
         ix.add(None, vecs)
         ix.optimize(n_partitions=parts, reorder=True)
     finally:
@@ -74,9 +74,9 @@ def test_binned_recall_matches_xla(blob_corpus, metric):
     k = 10
     exact.set_kernel_backend("pallas")
     try:
-        ix = _build(vecs, "bin", metric=metric)
+        ix = _build(vecs, "nofold", metric=metric)
         gt = np.asarray(_search(ix, q, k, "bin", exact=True).keys)
-        got_bin = np.asarray(_search(ix, q, k, "bin").keys)
+        got_bin = np.asarray(_search(ix, q, k, "nofold").keys)
         got_xla = np.asarray(_search(ix, q, k, "xla").keys)
     finally:
         exact.set_kernel_backend("auto")
@@ -87,13 +87,37 @@ def test_binned_recall_matches_xla(blob_corpus, metric):
     assert r_bin >= 0.9, (metric, r_bin)
 
 
+@pytest.mark.parametrize("metric", ["ip", "cos", "l2sq"])
+def test_nofold_wide_surface_recall(blob_corpus, metric):
+    """Wide probe surface (nprobe·nb_w ≥ 8k) actually dispatches the
+    fold-free kernel; recall must match the XLA probe at the same probes."""
+    vecs, q = blob_corpus
+    k = 10
+    calls = []
+    orig = iv._ivf_probe_search_dense_nofold
+    iv._ivf_probe_search_dense_nofold = lambda *a, **kw: (calls.append(1), orig(*a, **kw))[1]
+    exact.set_kernel_backend("pallas")
+    try:
+        ix = _build(vecs, "nofold", metric=metric, es=512)
+        gt = np.asarray(_search(ix, q, k, "nofold", exact=True).keys)
+        got_nf = np.asarray(_search(ix, q, k, "nofold").keys)
+        got_xla = np.asarray(_search(ix, q, k, "xla").keys)
+    finally:
+        exact.set_kernel_backend("auto")
+        iv._ivf_probe_search_dense_nofold = orig
+    assert calls, "nofold path did not dispatch"
+    r_nf = _recall(got_nf, gt, k)
+    r_xla = _recall(got_xla, gt, k)
+    assert r_nf >= r_xla - 0.01, (metric, r_nf, r_xla)
+
+
 def test_binned_distance_consistency(blob_corpus):
     vecs, q = blob_corpus
     k = 10
     exact.set_kernel_backend("pallas")
     try:
-        ix = _build(vecs, "bin")
-        m = _search(ix, q, k, "bin")
+        ix = _build(vecs, "nofold")
+        m = _search(ix, q, k, "nofold")
     finally:
         exact.set_kernel_backend("auto")
     keys = np.asarray(m.keys)
@@ -117,11 +141,11 @@ def test_binned_excludes_removed(blob_corpus):
     vecs, q = blob_corpus
     exact.set_kernel_backend("pallas")
     try:
-        ix = _build(vecs, "bin")
-        gone = np.asarray(_search(ix, q, 3, "bin").keys)[:, 0]
+        ix = _build(vecs, "nofold")
+        gone = np.asarray(_search(ix, q, 3, "nofold").keys)[:, 0]
         for key in set(gone.tolist()):
             ix.remove(int(key))
-        m = _search(ix, q, 10, "bin")
+        m = _search(ix, q, 10, "nofold")
     finally:
         exact.set_kernel_backend("auto")
     keys = set(np.asarray(m.keys).flatten().tolist())
@@ -134,9 +158,9 @@ def test_binned_heavy_filter_falls_back(blob_corpus):
     vecs, q = blob_corpus
     exact.set_kernel_backend("pallas")
     try:
-        ix = _build(vecs, "bin")
+        ix = _build(vecs, "nofold")
         allow = np.arange(0, len(vecs), 4, dtype=np.uint64)  # 25% live
-        m = _search(ix, q[:8], 10, "bin", filter=allow)
+        m = _search(ix, q[:8], 10, "nofold", filter=allow)
     finally:
         exact.set_kernel_backend("auto")
     keys = np.asarray(m.keys)

@@ -42,12 +42,13 @@ _DENSE_BLOCK = 256  # rows per gather block in the dense in-place layout
 
 import os as _os
 
-#: Pallas probe flavor: "bin" (fold-free binned kernel, i8 tables — the
-#: default; falls back to "group" where its preconditions fail), "group"
-#: (partition-grouped pairs — shared window DMA + full-width matmul),
-#: "pair" (per-query windows), "xla" handled by USEARCH_TPU_KERNEL /
-#: exact.set_kernel_backend.
-_PROBE_MODE = _os.environ.get("USEARCH_TPU_PROBE", "bin")
+#: Pallas probe flavor: "group" (partition-grouped pairs — shared window
+#: DMA + full-width matmul; the default), "nofold" (grouped kernel minus
+#: the in-kernel fold, exact merge outside — same recall, pending on-chip
+#: timing), "bin" (fold-free packed-key kernel — its narrow-bin configs
+#: crash this image's Mosaic on TPU, opt-in only), "pair" (per-query
+#: windows), "xla" handled by USEARCH_TPU_KERNEL / exact.set_kernel_backend.
+_PROBE_MODE = _os.environ.get("USEARCH_TPU_PROBE", "group")
 
 #: live-fraction floor below which the binned kernel (which masks deleted/
 #: filtered rows AFTER its top-(k+slack) merge) defers to the in-kernel
@@ -58,11 +59,12 @@ _BIN_LIVE_FLOOR = 0.5
 #: bin. True neighbors CONCENTRATE (often in one cluster window, sometimes
 #: in adjacent duplicate rows), so wide single-winner bins lose same-bin
 #: collisions (measured at 60k rows / 128 parts vs XLA 0.9844: 1@32 →
-#: 0.826, 1@8 → 0.9961, 4@32 → 0.9984). Mosaic constraints force the
-#: default to keep=1 @ bw=8 (native sublane tile, one min pass): bw=16
-#: reduces and keep>1 masking rounds crash the TPU compiler.
-_BIN_BW = int(_os.environ.get("USEARCH_TPU_BIN_BW", "8"))
-_BIN_KEEP = int(_os.environ.get("USEARCH_TPU_BIN_KEEP", "1"))
+#: 0.826, 1@8 → 0.9961, 4@32 → 0.9984). NOTE: this image's Mosaic crashes
+#: on bw<32 reduces and keep>1 masking rounds on REAL TPU — the "bin"
+#: mode is opt-in (interpret/CPU and future toolchains); "nofold" is the
+#: supported fold-free path.
+_BIN_BW = int(_os.environ.get("USEARCH_TPU_BIN_BW", "32"))
+_BIN_KEEP = int(_os.environ.get("USEARCH_TPU_BIN_KEEP", "4"))
 #: in-kernel bin-select primitive: "pack" (i32 packed-key min) or
 #: "fminarg" (f32 min+argmin rounds, the v1 kernel's extract)
 _BIN_SEL = _os.environ.get("USEARCH_TPU_BIN_SEL", "pack")
@@ -523,10 +525,15 @@ class IVFPartitions:
                     return _ivf_probe_search_dense_binned(
                         *args, 128, _BIN_BW, _BIN_KEEP
                     )
-                if _PROBE_MODE in ("nofold", "bin") and k <= 64:
-                    # bin_m=4 per 128-row bin covers k ≤ their per-window
-                    # candidate budget comfortably up to k=64 with nprobe
-                    # windows merged outside
+                if (
+                    _PROBE_MODE in ("nofold", "bin")
+                    and k <= 64
+                    and nprobe * (w_pad // 128) >= 8 * k
+                ):
+                    # wide probe surfaces: bin_m=4 per 128-row bin (the v1
+                    # kernel's recall-proven density) merged exactly outside;
+                    # small surfaces fall through to the grouped kernel's
+                    # exact-in-window bin_m=k
                     return _ivf_probe_search_dense_nofold(*args)
                 return _ivf_probe_search_dense_grouped(*args)
             return _ivf_probe_search_dense(
