@@ -341,10 +341,13 @@ def main():
 
     # ---- IVF sweep (B100M_PROBE selects the probe impl: xla|...|all) ----
     probe_mode = os.environ.get("B100M_PROBE", "xla")
+    wanted = probe_mode.split(",")
     impls = []
     for name in ("xla", "pallas", "group", "bin", "nofold"):
-        if probe_mode in (name, "all") or (
-            probe_mode == "both" and name in ("xla", "pallas")
+        if (
+            name in wanted
+            or probe_mode == "all"
+            or (probe_mode == "both" and name in ("xla", "pallas"))
         ):
             impls.append(name)
     # +128: the pallas probe aligns DMA starts down to 128 rows
