@@ -167,3 +167,67 @@ def test_sharded_ivf_save_load_round_trip(rng, tmp_path):
     np.testing.assert_array_equal(
         loaded.search(queries, 5, exact=True).keys, want.keys
     )
+
+
+def test_sharded_add_remove(rng):
+    """Round 2: sharded pools accept appends and removals (the reference's
+    `Indexes` pool is read-only after construction — python/usearch/index.py).
+    Appends land balanced across shards via one donated scatter; removals
+    flip the validity mask. Searches stay correct throughout."""
+    from usearch_tpu.enums import MetricKind
+
+    d = 32
+    base = rng.standard_normal((512, d)).astype("float32")
+    pool = ShardedIndex.build(base, metric=MetricKind.IP, mesh=make_mesh())
+    assert len(pool) == 512
+
+    extra = rng.standard_normal((64, d)).astype("float32")
+    extra_keys = (1000 + __import__("numpy").arange(64)).astype("uint64")
+    pool.add(extra_keys, extra)
+    assert len(pool) == 576
+    m = pool.search(extra[:8], 1)
+    got = __import__("numpy").asarray(m.keys)[:, 0]
+    assert (got == extra_keys[:8]).all()
+    assert pool.contains(1000) and not pool.contains(999999)
+
+    removed = pool.remove(extra_keys[:16])
+    assert removed == 16 and len(pool) == 560
+    m2 = pool.search(extra[:8], 1)
+    got2 = __import__("numpy").asarray(m2.keys)[:, 0]
+    assert not set(got2.tolist()) & set(extra_keys[:16].tolist())
+
+
+def test_sharded_add_after_optimize_falls_back_exact(rng):
+    """Adds invalidate the per-shard IVF (new rows sit outside their true
+    cluster windows); searches must stay correct via the exact scan."""
+    from usearch_tpu.enums import MetricKind
+
+    d = 32
+    base = rng.standard_normal((1024, d)).astype("float32")
+    pool = ShardedIndex.build(base, metric=MetricKind.IP, mesh=make_mesh())
+    pool.optimize(n_partitions=8)
+    assert pool._ivf is not None
+    extra = rng.standard_normal((8, d)).astype("float32")
+    keys = (5000 + __import__("numpy").arange(8)).astype("uint64")
+    pool.add(keys, extra)
+    assert pool._ivf is None  # falls back to the exact sharded scan
+    got = __import__("numpy").asarray(pool.search(extra, 1).keys)[:, 0]
+    assert (got == keys).all()
+    pool.optimize(n_partitions=8)  # rebuild restores probed serving
+    got2 = __import__("numpy").asarray(pool.search(extra, 1).keys)[:, 0]
+    assert (got2 == keys).all()
+
+
+def test_sharded_reserve_preserves_ivf(rng):
+    """Per-shard growth appends tail padding, so chunk starts/lens stay
+    valid and probed searches survive a reserve()."""
+    from usearch_tpu.enums import MetricKind
+
+    d = 32
+    base = rng.standard_normal((1024, d)).astype("float32")
+    pool = ShardedIndex.build(base, metric=MetricKind.IP, mesh=make_mesh())
+    pool.optimize(n_partitions=8)
+    pool.reserve(4096)
+    assert pool._ivf is not None
+    got = __import__("numpy").asarray(pool.search(base[:8], 1).keys)[:, 0]
+    assert (got == __import__("numpy").arange(8)).all()

@@ -199,6 +199,22 @@ def sharded_ivf_kernel(
     )(q, q_stats, cents, starts, lens, table, stats, valid)
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnums=(5,))
+def _sharded_scatter_add(table, stats, valid, slots, rows, kind):
+    """Donated sharded row append: XLA SPMD partitions the scatter across
+    the mesh (the update batch is replicated; each shard applies its own
+    slice of the slots)."""
+    table = table.at[slots].set(rows.astype(table.dtype))
+    stats = stats.at[slots].set(row_stats(rows, kind))
+    valid = valid.at[slots].set(True)
+    return table, stats, valid
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _sharded_clear_valid(valid, slots):
+    return valid.at[slots].set(False)
+
+
 class ShardedIndex:
     """A read-optimized index whose rows are sharded across a device mesh.
 
@@ -277,6 +293,116 @@ class ShardedIndex:
         else:
             rows = rows[:, : index.ndim]
         return ShardedIndex.build(rows, keys, metric=index._metric_kind, mesh=mesh)
+
+    # -- mutation ---------------------------------------------------------
+    # The reference's multi-index pool (`Indexes`, python/usearch/index.py)
+    # is strictly read-only after construction; a sharded TPU pool can do
+    # better: rows append into per-shard free slots (balanced round-robin)
+    # via one donated sharded scatter, and removals flip the validity mask.
+    # Adds invalidate the per-shard IVF structure (new rows would land
+    # outside their true cluster's window) — searches fall back to the
+    # exact sharded scan until the next `optimize()`; removals keep it.
+
+    def _free_by_shard(self):
+        valid_np = np.asarray(jax.device_get(self._valid))
+        n_shards = self.mesh.shape[SHARD_AXIS]
+        per = valid_np.shape[0] // n_shards
+        return [
+            (s * per + np.nonzero(~valid_np[s * per : (s + 1) * per])[0])
+            for s in range(n_shards)
+        ]
+
+    def reserve(self, capacity: int) -> None:
+        """Grow every shard to hold ``ceil(capacity / n_shards)`` rows.
+        Per-shard growth appends padding at each shard's tail, so chunk
+        starts/lens of an existing IVF layout remain valid."""
+        n_shards = self.mesh.shape[SHARD_AXIS]
+        per = self._table.shape[0] // n_shards
+        want_per = pad_rows(max((int(capacity) + n_shards - 1) // n_shards, 1), 8)
+        if want_per <= per:
+            return
+        width = self._table.shape[1]
+        table_np = np.asarray(jax.device_get(self._table)).reshape(n_shards, per, width)
+        valid_np = np.asarray(jax.device_get(self._valid)).reshape(n_shards, per)
+        grown_t = np.zeros((n_shards, want_per, width), table_np.dtype)
+        grown_v = np.zeros((n_shards, want_per), bool)
+        grown_k = np.zeros((n_shards, want_per), np.uint64)
+        grown_t[:, :per] = table_np
+        grown_v[:, :per] = valid_np
+        grown_k[:, :per] = self._keys.reshape(n_shards, per)
+        sharding = NamedSharding(self.mesh, P(SHARD_AXIS))
+        self._table = jax.device_put(
+            jnp.asarray(grown_t.reshape(-1, width)), sharding
+        )
+        self._stats = jax.device_put(row_stats(self._table, self.kind), sharding)
+        self._valid = jax.device_put(jnp.asarray(grown_v.reshape(-1)), sharding)
+        self._keys = grown_k.reshape(-1)
+
+    def add(self, keys, vectors: np.ndarray) -> None:
+        """Append rows to the pool: balanced round-robin over each shard's
+        free slots, ONE donated sharded scatter. Invalidates the IVF
+        structure (exact sharded scans remain correct)."""
+        vectors = np.atleast_2d(np.asarray(vectors))
+        m = vectors.shape[0]
+        if m == 0:
+            return
+        in_kind = input_kind_of(vectors, self.kind)
+        rows = prepare_rows(vectors, in_kind, self.kind, self.ndim)
+        if keys is None:
+            base = int(self._keys.max(initial=0)) + 1
+            keys = np.arange(base, base + m, dtype=np.uint64)
+        keys = np.atleast_1d(np.asarray(keys, dtype=np.uint64))
+        assert keys.shape[0] == m
+
+        free = self._free_by_shard()
+        if sum(len(f) for f in free) < m:
+            n_shards = self.mesh.shape[SHARD_AXIS]
+            per = self._table.shape[0] // n_shards
+            need_per = per + (m + n_shards - 1) // n_shards
+            self.reserve(max(2 * per, need_per) * n_shards)
+            free = self._free_by_shard()
+        # balanced interleave: one slot per shard per round
+        order = sorted(range(len(free)), key=lambda s: -len(free[s]))
+        slots = np.empty(m, np.int64)
+        taken = 0
+        idx = [0] * len(free)
+        while taken < m:
+            for s in order:
+                if taken == m:
+                    break
+                if idx[s] < len(free[s]):
+                    slots[taken] = free[s][idx[s]]
+                    idx[s] += 1
+                    taken += 1
+
+        slots_dev = jnp.asarray(slots, dtype=jnp.int32)
+        rows_dev = jnp.asarray(rows, dtype=to_jax_dtype(self.kind))
+        self._table, self._stats, self._valid = _sharded_scatter_add(
+            self._table, self._stats, self._valid, slots_dev, rows_dev, self.kind
+        )
+        self._keys[slots] = keys
+        self._count += m
+        self._ivf = None
+
+    def remove(self, keys) -> int:
+        """Mark rows deleted by key; returns the number removed. The IVF
+        layout stays valid (probes respect the validity mask)."""
+        keys = np.atleast_1d(np.asarray(keys, dtype=np.uint64))
+        valid_np = np.asarray(jax.device_get(self._valid))
+        lut = {int(k): s for s, k in enumerate(self._keys) if valid_np[s]}
+        slots = [lut[int(k)] for k in keys if int(k) in lut]
+        if not slots:
+            return 0
+        self._valid = _sharded_clear_valid(
+            self._valid, jnp.asarray(np.asarray(slots), dtype=jnp.int32)
+        )
+        self._count -= len(slots)
+        return len(slots)
+
+    def contains(self, key) -> bool:
+        valid_np = np.asarray(jax.device_get(self._valid))
+        hits = np.nonzero((self._keys == np.uint64(key)) & valid_np)[0]
+        return hits.size > 0
 
     def save(self, directory) -> None:
         """Sharded on-disk format: ``manifest.json`` + one vector file per
