@@ -105,21 +105,39 @@ for nprobe in (16, 64):
                 f"  ({dt/nw_b*1e6:6.2f} us/window, windows={nw_b},"
                 f" dma {dma_gb:.2f} GB -> {dma_gb/dt:.0f} GB/s eff)"
             )
+    for ns in (2, 4, 8):
+        try:
+            fn = functools.partial(
+                pallas_probe.pallas_ivf_probe_grouped_nofold,
+                MetricKind.IP, table=table, t_aux=t_aux,
+                w_pad=w_pad, g=G, bin_m=4, n_slots=ns,
+            )
+            dt = timeit(lambda qg, qa, m: fn(q_g=qg, q_aux_g=qa, meta=m), a, b)
+        except Exception as e:
+            print(f"nofold nprobe={nprobe:3d} slots={ns}: FAIL "
+                  + str(e).split(chr(10))[0][:100])
+            continue
+        print(
+            f"nofold nprobe={nprobe:3d} slots={ns}: {dt*1e3:8.1f} ms"
+            f"  ({dt/nw_b*1e6:6.2f} us/window,"
+            f" dma {dma_gb:.2f} GB -> {dma_gb/dt:.0f} GB/s eff)"
+        )
     for sel, bw, keep in (("pack", 32, 4), ("fminarg", 32, 4), ("fminarg", 128, 4)):
         for wb in (1,):
-            try:
-                fn = functools.partial(
-                    pallas_probe.pallas_ivf_probe_binned,
-                    table=table, w_pad=w_pad, g=G, bw=bw, keep=keep, wb=wb,
-                    sel=sel,
+            for ns in (2, 4, 8):
+                try:
+                    fn = functools.partial(
+                        pallas_probe.pallas_ivf_probe_binned,
+                        table=table, w_pad=w_pad, g=G, bw=bw, keep=keep, wb=wb,
+                        sel=sel, n_slots=ns,
+                    )
+                    dt = timeit(lambda qg, qa, m: fn(qg, qa, meta=m), a, b)
+                except Exception as e:  # VMEM OOM etc: skip config
+                    print(f"v2 nprobe={nprobe:3d} {sel} keep{keep}@{bw} wb={wb} "
+                          f"slots={ns}: FAIL " + str(e).split(chr(10))[0][:100])
+                    continue
+                print(
+                    f"v2 nprobe={nprobe:3d} {sel} keep{keep}@{bw} wb={wb} slots={ns}:"
+                    f" {dt*1e3:8.1f} ms  ({dt/nw_b*1e6:6.2f} us/window,"
+                    f" dma {dma_gb:.2f} GB -> {dma_gb/dt:.0f} GB/s eff)"
                 )
-                dt = timeit(lambda qg, qa, m: fn(qg, qa, meta=m), a, b)
-            except Exception as e:  # VMEM OOM etc: skip config
-                print(f"v2 nprobe={nprobe:3d} {sel} keep{keep}@{bw} wb={wb}: FAIL "
-                      + str(e).split(chr(10))[0][:100])
-                continue
-            print(
-                f"v2 nprobe={nprobe:3d} {sel} keep{keep}@{bw} wb={wb}: {dt*1e3:8.1f} ms"
-                f"  ({dt/nw_b*1e6:6.2f} us/window,"
-                f" dma {dma_gb:.2f} GB -> {dma_gb/dt:.0f} GB/s eff)"
-            )

@@ -213,3 +213,54 @@ def test_binned_direct_small_window():
             if rid < 0:
                 continue
             assert np.isclose(1.0 - qf[qi] @ tf[rid], d[qi, j], rtol=1e-5, atol=1e-2)
+
+def test_ring_depth_parity():
+    """DMA ring depth (n_slots) must not change any output: n_slots=4
+    (deeper prefetch) vs the default 2 on both fold-free kernels."""
+    import jax.numpy as jnp
+    from usearch_tpu.ivf import _binned_pairs
+    from usearch_tpu.ops.pallas_probe import (
+        pallas_ivf_probe_binned,
+        pallas_ivf_probe_grouped_nofold,
+    )
+
+    rng = np.random.default_rng(5)
+    C, clen, D, Q, nprobe = 16, 96, 128, 8, 4
+    cap2 = C * clen + 128
+    n = C * clen
+    table = np.zeros((cap2, D), np.int8)
+    table[:n] = rng.integers(-127, 128, (n, D), dtype=np.int8)
+    starts = jnp.asarray(np.arange(C, dtype=np.int32) * clen)
+    lens = jnp.asarray(np.full(C, clen, np.int32))
+    q = jnp.asarray(rng.integers(-127, 128, (Q, D), dtype=np.int8))
+    w_pad = ((clen + 127) // 128 + 1) * 128
+    probes = jnp.asarray(
+        np.stack([rng.choice(C, nprobe, replace=False) for _ in range(Q)])
+    ).astype(jnp.int32)
+    q_g, qid_s, widx, meta, order, p0, p_total = _binned_pairs(
+        q, probes, starts, lens, cap2, w_pad, nprobe, 128
+    )
+    q_aux = jnp.zeros((p_total, 8), jnp.float32)
+    qf = q.astype(jnp.float32)
+    q_aux = q_aux.at[:, 0].set(jnp.sum(qf * qf, axis=1)[qid_s])
+    q_aux = q_aux.at[:, 2].set(widx.reshape(-1).astype(jnp.float32))
+    tbl = jnp.asarray(table)
+    t_aux = jnp.zeros((1, cap2), jnp.float32)
+
+    outs = [
+        pallas_ivf_probe_binned(
+            q_g, q_aux, tbl, meta, w_pad, 128, 32, 4, 1, "pack", True, ns
+        )
+        for ns in (2, 4)
+    ]
+    np.testing.assert_array_equal(np.asarray(outs[0][0]), np.asarray(outs[1][0]))
+    np.testing.assert_array_equal(np.asarray(outs[0][1]), np.asarray(outs[1][1]))
+
+    outs = [
+        pallas_ivf_probe_grouped_nofold(
+            MetricKind.IP, q_g, q_aux, tbl, t_aux, meta, w_pad, 128, 4, True, ns
+        )
+        for ns in (2, 4)
+    ]
+    np.testing.assert_array_equal(np.asarray(outs[0][0]), np.asarray(outs[1][0]))
+    np.testing.assert_array_equal(np.asarray(outs[0][1]), np.asarray(outs[1][1]))

@@ -323,7 +323,8 @@ def _make_grouped_kernel(
 
 
 def _make_grouped_nofold_kernel(
-    metric: MetricKind, w_pad: int, g: int, bin_m: int, out_pad: int
+    metric: MetricKind, w_pad: int, g: int, bin_m: int, out_pad: int,
+    n_slots: int = 2,
 ):
     """_make_grouped_kernel with the k_pad-pass running fold DELETED: each
     pair-lane's window bin-candidates (bin_m per 128-row bin, the recall-
@@ -333,7 +334,10 @@ def _make_grouped_nofold_kernel(
     us/window, scripts/tpu_probe_kernel_profile.py); everything else —
     DMA pattern, epilogue, off/len/lane masks, bin extract — is
     byte-identical to the proven kernel, so distances are final metric
-    values and deleted/filtered rows are already penalty-masked."""
+    values and deleted/filtered rows are already penalty-masked.
+
+    n_slots: DMA ring depth — with 2 the prefetch depth is 1 window; a
+    deeper ring keeps more HBM copies in flight to hide issue latency."""
     nb_w = w_pad // _LANES
     n_cand = bin_m * nb_w
 
@@ -345,11 +349,11 @@ def _make_grouped_nofold_kernel(
         t_aux_ref,   # [aux_rows, cap2] HBM f32
         out_d_ref,   # [g, out_pad] f32
         out_i_ref,   # [g, out_pad] i32
-        wbuf,        # [2, w_pad, D] VMEM scratch
-        abuf,        # [2, aux_rows, w_pad] VMEM f32 scratch
+        wbuf,        # [n_slots, w_pad, D] VMEM scratch
+        abuf,        # [n_slots, aux_rows, w_pad] VMEM f32 scratch
         acc_d,       # [out_pad, g] f32 scratch
         acc_i,       # [out_pad, g] i32 scratch
-        sems,        # [2, 2] DMA semaphores
+        sems,        # [n_slots, 2] DMA semaphores
     ):
         n_win = meta_ref[0, 3, 0]
         acc_t = jnp.int32 if q_ref.dtype == jnp.int8 else jnp.float32
@@ -366,21 +370,26 @@ def _make_grouped_nofold_kernel(
                 t_aux_ref.at[:, pl.ds(s, w_pad)], abuf.at[slot], sems.at[slot, 1]
             )
 
-        win_dma(0, 0).start()
-        aux_dma(0, 0).start()
+        # fill the ring: slots 0..n_slots-2 start immediately (window w's
+        # slot is w % n_slots; the body prefetches w + n_slots - 1)
+        for w0 in range(n_slots - 1):
+            @pl.when(w0 < n_win)
+            def _start(w0=w0):
+                win_dma(w0, w0).start()
+                aux_dma(w0, w0).start()
         acc_d[:] = jnp.full_like(acc_d, MASKED)
         acc_i[:] = jnp.full_like(acc_i, -1)
         q_sq = q_aux_ref[:, 0]
         lane_widx = q_aux_ref[:, 2]  # [g] f32
 
         def body(w, _):
-            slot = jax.lax.rem(w, 2)
-            nxt = jax.lax.rem(w + 1, 2)
+            slot = jax.lax.rem(w, n_slots)
+            nxt = jax.lax.rem(w + n_slots - 1, n_slots)
 
-            @pl.when(w + 1 < n_win)
+            @pl.when(w + n_slots - 1 < n_win)
             def _prefetch():
-                win_dma(nxt, w + 1).start()
-                aux_dma(nxt, w + 1).start()
+                win_dma(nxt, w + n_slots - 1).start()
+                aux_dma(nxt, w + n_slots - 1).start()
 
             win_dma(slot, w).wait()
             aux_dma(slot, w).wait()
@@ -430,7 +439,7 @@ def _make_grouped_nofold_kernel(
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(0, 6, 7, 8, 9, 10))
 def pallas_ivf_probe_grouped_nofold(
     metric: MetricKind,
     q_g: jnp.ndarray,        # [P, D] gathered pair-query rows; P % g == 0
@@ -442,6 +451,7 @@ def pallas_ivf_probe_grouped_nofold(
     g: int = 128,
     bin_m: int = 4,
     interpret: bool = False,
+    n_slots: int = 2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fold-free grouped probe: per-PAIR final metric distances + GLOBAL
     row ids for the top-bin_m rows of each 128-row bin of the pair's
@@ -451,11 +461,12 @@ def pallas_ivf_probe_grouped_nofold(
     cap2 = table.shape[0]
     aux_rows = t_aux.shape[0]
     assert p_total % g == 0 and w_pad % _LANES == 0 and cap2 >= w_pad
+    assert n_slots >= 2
     n_cand = bin_m * (w_pad // _LANES)
     out_pad = ((n_cand + _LANES - 1) // _LANES) * _LANES
     cells = p_total // g
 
-    kernel = _make_grouped_nofold_kernel(metric, w_pad, g, bin_m, out_pad)
+    kernel = _make_grouped_nofold_kernel(metric, w_pad, g, bin_m, out_pad, n_slots)
     out_d, out_i = pl.pallas_call(
         kernel,
         grid=(cells,),
@@ -475,13 +486,19 @@ def pallas_ivf_probe_grouped_nofold(
             jax.ShapeDtypeStruct((p_total, out_pad), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, w_pad, d_width), table.dtype),
-            pltpu.VMEM((2, aux_rows, w_pad), jnp.float32),
+            pltpu.VMEM((n_slots, w_pad, d_width), table.dtype),
+            pltpu.VMEM((n_slots, aux_rows, w_pad), jnp.float32),
             pltpu.VMEM((out_pad, g), jnp.float32),
             pltpu.VMEM((out_pad, g), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((n_slots, 2)),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # the unrolled bin-extract temporaries sit just past the 16 MB
+            # default scoped-VMEM limit at spilled-100M window shapes
+            # (w_pad 2560: 16.15 MB); physical VMEM is far larger
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
     )(meta, q_g, q_aux_g, table, t_aux)
     d_out = out_d
     return d_out, jnp.where(d_out >= MASKED / 2, -1, out_i)
@@ -489,7 +506,7 @@ def pallas_ivf_probe_grouped_nofold(
 
 def _make_binned_probe_kernel(
     w_pad: int, g: int, wb: int, bw: int, keep: int, out_pad: int,
-    sel: str = "pack",
+    sel: str = "pack", n_slots: int = 2,
 ):
     """Fold-free grouped probe cell (i8 tables, selection by raw MXU dot).
 
@@ -522,10 +539,10 @@ def _make_binned_probe_kernel(
         table_ref,   # [cap2, D] HBM i8
         out_d_ref,   # [g, out_pad] f32 — raw keyed distance (-dot), MASKED pad
         out_i_ref,   # [g, out_pad] i32 — global row ids
-        wbuf,        # [2, wb, w_pad, D] VMEM i8
+        wbuf,        # [n_slots, wb, w_pad, D] VMEM i8
         acc_d,       # [out_pad, g] f32 scratch
         acc_i,       # [out_pad, g] i32 scratch
-        sems,        # [2, wb] DMA semaphores
+        sems,        # [n_slots, wb] DMA semaphores
     ):
         n_win = meta_ref[0, 3, 0]
         n_iter = (n_win + wb - 1) // wb
@@ -560,7 +577,12 @@ def _make_binned_probe_kernel(
                     sems.at[slot, wi],
                 ).wait()
 
-        start_iter(0, 0)
+        # fill the DMA ring: iterations 0..n_slots-2 start now; the body
+        # keeps n_slots-1 iterations in flight
+        for it0 in range(n_slots - 1):
+            @pl.when(it0 < n_iter)
+            def _start(it0=it0):
+                start_iter(it0, it0)
         acc_d[:] = jnp.full_like(acc_d, MASKED)
         acc_i[:] = jnp.full_like(acc_i, -1)
         lane_widx = q_aux_ref[:, 2]              # [g] f32 pair→window slot
@@ -571,12 +593,12 @@ def _make_binned_probe_kernel(
             # loop-carried vector tuples and keep>1 masking rounds crash
             # the compiler outright. The surviving shape: scratch refs
             # updated by ONE full-array aligned where per window.
-            slot = jax.lax.rem(it, 2)
-            nxt = jax.lax.rem(it + 1, 2)
+            slot = jax.lax.rem(it, n_slots)
+            nxt = jax.lax.rem(it + n_slots - 1, n_slots)
 
-            @pl.when(it + 1 < n_iter)
+            @pl.when(it + n_slots - 1 < n_iter)
             def _prefetch():
-                start_iter(nxt, it + 1)
+                start_iter(nxt, it + n_slots - 1)
 
             wait_iter(slot, it)
 
@@ -644,7 +666,7 @@ def _make_binned_probe_kernel(
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def pallas_ivf_probe_binned(
     q_g: jnp.ndarray,        # [P, D] i8 gathered pair-query rows; P % g == 0
     q_aux_g: jnp.ndarray,    # [P, 8] f32: col 2 = pair widx
@@ -657,6 +679,7 @@ def pallas_ivf_probe_binned(
     wb: int = 1,
     sel: str = "pack",
     interpret: bool = False,
+    n_slots: int = 2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fold-free grouped probe. Returns per-PAIR raw keys (-dot as f32,
     MASKED = empty slot) and GLOBAL row ids for the top-`keep` rows of
@@ -673,7 +696,8 @@ def pallas_ivf_probe_binned(
     out_pad = ((nbins + _LANES - 1) // _LANES) * _LANES
     cells = p_total // g
 
-    kernel = _make_binned_probe_kernel(w_pad, g, wb, bw, keep, out_pad, sel)
+    assert n_slots >= 2
+    kernel = _make_binned_probe_kernel(w_pad, g, wb, bw, keep, out_pad, sel, n_slots)
     out_d, out_i = pl.pallas_call(
         kernel,
         grid=(cells,),
@@ -693,14 +717,21 @@ def pallas_ivf_probe_binned(
         ],
         scratch_shapes=[
             pltpu.VMEM(
-                (2, w_pad, d_width) if wb == 1 else (2, wb, w_pad, d_width),
+                (n_slots, w_pad, d_width) if wb == 1
+                else (n_slots, wb, w_pad, d_width),
                 table.dtype,
             ),
             pltpu.VMEM((out_pad, g), jnp.float32),
             pltpu.VMEM((out_pad, g), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, wb)),
+            pltpu.SemaphoreType.DMA((n_slots, wb)),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # the unrolled bin-extract temporaries sit just past the 16 MB
+            # default scoped-VMEM limit at spilled-100M window shapes
+            # (w_pad 2560: 16.15 MB); physical VMEM is far larger
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
     )(meta, q_g, q_aux_g, table)
     return out_d, out_i
 
@@ -754,6 +785,12 @@ def pallas_ivf_probe_grouped(
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # the unrolled bin-extract temporaries sit just past the 16 MB
+            # default scoped-VMEM limit at spilled-100M window shapes
+            # (w_pad 2560: 16.15 MB); physical VMEM is far larger
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
     )(meta, q_g, q_aux_g, table, t_aux)
 
     d_out = out_d[:, :k]
@@ -820,6 +857,12 @@ def pallas_ivf_probe(
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # the unrolled bin-extract temporaries sit just past the 16 MB
+            # default scoped-VMEM limit at spilled-100M window shapes
+            # (w_pad 2560: 16.15 MB); physical VMEM is far larger
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
     )(starts_c, offs, lens, q, q_aux, table, t_aux)
 
     d_out = out_d[:, :k]
