@@ -24,10 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from usearch_tpu.enums import MetricKind
 from usearch_tpu.ops import pallas_probe
 
-N = 10_000_000
+N = int(os.environ.get("KP_N", 10_000_000))
 D = 128                                        # storage width (96d padded to lanes)
-C = 8192
-Q = 1024
+C = int(os.environ.get("KP_C", 8192))
+Q = int(os.environ.get("KP_Q", 1024))
 K = 10
 G = 128
 
@@ -80,39 +80,51 @@ def build_pairs(nprobe, seed):
     return (jnp.asarray(q_g), jnp.asarray(q_aux), jnp.asarray(meta)), n_windows
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _reduced(fn, qg, qa, m, tbl, taux):
+    """Reduce kernel outputs to scalars ON DEVICE: fetching a wide
+    [P, out_pad] result rides the ~20 MB/s axon tunnel (~1.7 s for 33 MB)
+    and reads as kernel time — the documented measurement trap. The table
+    is an EXPLICIT argument (a closed-over device array would be embedded
+    as a lowered-module constant and shipped through remote compile)."""
+    d, i = fn(qg, qa, m, tbl, taux)
+    return jnp.sum(d), jnp.sum(i)
+
+
 def timeit(fn, a, b):
-    np.asarray(fn(*a)[0])                      # warm/compile on pairs A
+    np.asarray(_reduced(fn, *a, table, t_aux)[0])   # warm/compile on pairs A
     t0 = time.perf_counter()
-    np.asarray(fn(*b)[0])                      # time on pairs B (dedup-safe)
+    np.asarray(_reduced(fn, *b, table, t_aux)[0])   # time on pairs B (dedup-safe)
     return time.perf_counter() - t0
 
 
 print(f"N={N} C={C} clen={clen} w_pad={w_pad} Q={Q} G={G}")
-for nprobe in (16, 64):
+IMPLS = os.environ.get("KP_IMPLS", "v1,nofold,v2").split(",")
+for nprobe in (int(x) for x in os.environ.get("KP_NPROBES", "16,64").split(",")):
     a, nw_a = build_pairs(nprobe, 1)
     b, nw_b = build_pairs(nprobe, 2)
     dma_gb = nw_b * w_pad * D / 1e9
-    for bin_m in (4,):
+    for bin_m in (4,) if "v1" in IMPLS else ():
         for k in (K,):
             fn = functools.partial(
                 pallas_probe.pallas_ivf_probe_grouped,
-                MetricKind.IP, table=table, t_aux=t_aux,
-                k=k, w_pad=w_pad, g=G, bin_m=bin_m,
+                MetricKind.IP, k=k, w_pad=w_pad, g=G, bin_m=bin_m,
             )
-            dt = timeit(lambda qg, qa, m: fn(q_g=qg, q_aux_g=qa, meta=m), a, b)
+            dt = timeit(lambda qg, qa, m, tbl, taux: fn(
+                q_g=qg, q_aux_g=qa, meta=m, table=tbl, t_aux=taux), a, b)
             print(
                 f"v1 nprobe={nprobe:3d} bin_m={bin_m} k={k:3d}: {dt*1e3:8.1f} ms"
                 f"  ({dt/nw_b*1e6:6.2f} us/window, windows={nw_b},"
                 f" dma {dma_gb:.2f} GB -> {dma_gb/dt:.0f} GB/s eff)"
             )
-    for ns in (2, 4, 8):
+    for ns in ((2, 4, 8) if "nofold" in IMPLS else ()):
         try:
             fn = functools.partial(
                 pallas_probe.pallas_ivf_probe_grouped_nofold,
-                MetricKind.IP, table=table, t_aux=t_aux,
-                w_pad=w_pad, g=G, bin_m=4, n_slots=ns,
+                MetricKind.IP, w_pad=w_pad, g=G, bin_m=4, n_slots=ns,
             )
-            dt = timeit(lambda qg, qa, m: fn(q_g=qg, q_aux_g=qa, meta=m), a, b)
+            dt = timeit(lambda qg, qa, m, tbl, taux: fn(
+                q_g=qg, q_aux_g=qa, meta=m, table=tbl, t_aux=taux), a, b)
         except Exception as e:
             print(f"nofold nprobe={nprobe:3d} slots={ns}: FAIL "
                   + str(e).split(chr(10))[0][:100])
@@ -122,16 +134,17 @@ for nprobe in (16, 64):
             f"  ({dt/nw_b*1e6:6.2f} us/window,"
             f" dma {dma_gb:.2f} GB -> {dma_gb/dt:.0f} GB/s eff)"
         )
-    for sel, bw, keep in (("pack", 32, 4), ("fminarg", 32, 4), ("fminarg", 128, 4)):
-        for wb in (1,):
-            for ns in (2, 4, 8):
+    for sel, bw, keep in ((("dotonly", 32, 1), ("fminarg", 128, 4)) if "v2" in IMPLS else ()):
+        for wb in (1, 2):
+            for ns in (2, 4):
                 try:
                     fn = functools.partial(
                         pallas_probe.pallas_ivf_probe_binned,
-                        table=table, w_pad=w_pad, g=G, bw=bw, keep=keep, wb=wb,
+                        w_pad=w_pad, g=G, bw=bw, keep=keep, wb=wb,
                         sel=sel, n_slots=ns,
                     )
-                    dt = timeit(lambda qg, qa, m: fn(qg, qa, meta=m), a, b)
+                    dt = timeit(lambda qg, qa, m, tbl, taux: fn(
+                        qg, qa, meta=m, table=tbl), a, b)
                 except Exception as e:  # VMEM OOM etc: skip config
                     print(f"v2 nprobe={nprobe:3d} {sel} keep{keep}@{bw} wb={wb} "
                           f"slots={ns}: FAIL " + str(e).split(chr(10))[0][:100])
