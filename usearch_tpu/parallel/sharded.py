@@ -234,8 +234,31 @@ class ShardedIndex:
         self._stats = stats
         self._valid = valid
         self._keys = keys  # host np.uint64 [rows]
-        self._count = int(np.asarray(jax.device_get(valid)).sum())
+        valid_np = np.asarray(jax.device_get(valid))
+        self._count = int(valid_np.sum())
         self._ivf = None  # dict: cents/starts/lens (+ static p_win/block/avg)
+        # Persistent host keymap + per-shard free lists (the reference keeps
+        # its slot_lookup_ host-resident too, index_dense.hpp:501-504).
+        # Built once here (O(rows), amortized into construction); add/remove/
+        # contains are then O(batch) instead of re-scanning all keys or
+        # pulling the full validity mask per call.
+        self._rebuild_host_maps(valid_np)
+
+    def _rebuild_host_maps(self, valid_np: Optional[np.ndarray] = None) -> None:
+        from ..keymap import KeyMap
+
+        if valid_np is None:
+            valid_np = np.asarray(jax.device_get(self._valid))
+        self._keymap = KeyMap(multi=False)
+        live = np.nonzero(valid_np)[0]
+        if live.size:
+            self._keymap.insert_many(self._keys[live], live.astype(np.uint64))
+        n_shards = self.mesh.shape[SHARD_AXIS]
+        per = valid_np.shape[0] // n_shards
+        self._free = [
+            (s * per + np.nonzero(~valid_np[s * per : (s + 1) * per])[0]).tolist()
+            for s in range(n_shards)
+        ]
 
     # -- constructors ---------------------------------------------------
 
@@ -303,15 +326,6 @@ class ShardedIndex:
     # outside their true cluster's window) — searches fall back to the
     # exact sharded scan until the next `optimize()`; removals keep it.
 
-    def _free_by_shard(self):
-        valid_np = np.asarray(jax.device_get(self._valid))
-        n_shards = self.mesh.shape[SHARD_AXIS]
-        per = valid_np.shape[0] // n_shards
-        return [
-            (s * per + np.nonzero(~valid_np[s * per : (s + 1) * per])[0])
-            for s in range(n_shards)
-        ]
-
     def reserve(self, capacity: int) -> None:
         """Grow every shard to hold ``ceil(capacity / n_shards)`` rows.
         Per-shard growth appends padding at each shard's tail, so chunk
@@ -337,6 +351,9 @@ class ShardedIndex:
         self._stats = jax.device_put(row_stats(self._table, self.kind), sharding)
         self._valid = jax.device_put(jnp.asarray(grown_v.reshape(-1)), sharding)
         self._keys = grown_k.reshape(-1)
+        # per-shard regrowth shifts every shard's slot ids — remap the host
+        # keymap/free lists (reserve is already O(rows) host work)
+        self._rebuild_host_maps(grown_v.reshape(-1))
 
     def add(self, keys, vectors: np.ndarray) -> None:
         """Append rows to the pool: balanced round-robin over each shard's
@@ -349,19 +366,19 @@ class ShardedIndex:
         in_kind = input_kind_of(vectors, self.kind)
         rows = prepare_rows(vectors, in_kind, self.kind, self.ndim)
         if keys is None:
-            base = int(self._keys.max(initial=0)) + 1
+            base = int(self._keymap.max_key()) + 1  # -1 when empty
             keys = np.arange(base, base + m, dtype=np.uint64)
         keys = np.atleast_1d(np.asarray(keys, dtype=np.uint64))
         assert keys.shape[0] == m
 
-        free = self._free_by_shard()
-        if sum(len(f) for f in free) < m:
+        if sum(len(f) for f in self._free) < m:
             n_shards = self.mesh.shape[SHARD_AXIS]
             per = self._table.shape[0] // n_shards
             need_per = per + (m + n_shards - 1) // n_shards
             self.reserve(max(2 * per, need_per) * n_shards)
-            free = self._free_by_shard()
-        # balanced interleave: one slot per shard per round
+        free = self._free
+        # balanced interleave over the host free lists: one slot per shard
+        # per round, deepest shard first — O(batch), no device pull
         order = sorted(range(len(free)), key=lambda s: -len(free[s]))
         slots = np.empty(m, np.int64)
         taken = 0
@@ -374,6 +391,9 @@ class ShardedIndex:
                     slots[taken] = free[s][idx[s]]
                     idx[s] += 1
                     taken += 1
+        for s in order:
+            if idx[s]:
+                del free[s][: idx[s]]
 
         slots_dev = jnp.asarray(slots, dtype=jnp.int32)
         rows_dev = jnp.asarray(rows, dtype=to_jax_dtype(self.kind))
@@ -381,16 +401,23 @@ class ShardedIndex:
             self._table, self._stats, self._valid, slots_dev, rows_dev, self.kind
         )
         self._keys[slots] = keys
+        self._keymap.insert_many(keys, slots.astype(np.uint64))
         self._count += m
         self._ivf = None
 
     def remove(self, keys) -> int:
         """Mark rows deleted by key; returns the number removed. The IVF
-        layout stays valid (probes respect the validity mask)."""
+        layout stays valid (probes respect the validity mask). O(batch) via
+        the persistent host keymap — no full-key rescan per call."""
         keys = np.atleast_1d(np.asarray(keys, dtype=np.uint64))
-        valid_np = np.asarray(jax.device_get(self._valid))
-        lut = {int(k): s for s, k in enumerate(self._keys) if valid_np[s]}
-        slots = [lut[int(k)] for k in keys if int(k) in lut]
+        n_shards = self.mesh.shape[SHARD_AXIS]
+        per = self._table.shape[0] // n_shards
+        slots = []
+        for k in keys.tolist():
+            got = self._keymap.pop(k)
+            slots.extend(got)
+            for s in got:
+                self._free[int(s) // per].append(int(s))
         if not slots:
             return 0
         self._valid = _sharded_clear_valid(
@@ -400,9 +427,7 @@ class ShardedIndex:
         return len(slots)
 
     def contains(self, key) -> bool:
-        valid_np = np.asarray(jax.device_get(self._valid))
-        hits = np.nonzero((self._keys == np.uint64(key)) & valid_np)[0]
-        return hits.size > 0
+        return self._keymap.contains(int(key))
 
     def save(self, directory) -> None:
         """Sharded on-disk format: ``manifest.json`` + one vector file per
@@ -656,6 +681,7 @@ class ShardedIndex:
         self._stats = jax.device_put(row_stats(self._table, self.kind), sharding)
         self._valid = jax.device_put(jnp.asarray(new_valid), sharding)
         self._keys = new_keys
+        self._rebuild_host_maps(new_valid)  # permutation moved every slot
         self._ivf = {
             "cents": jax.device_put(jnp.asarray(all_cents), sharding),
             "starts": jax.device_put(jnp.asarray(all_starts), sharding),
