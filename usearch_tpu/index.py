@@ -80,6 +80,12 @@ def _scatter_rows(table, stats, valid, slots, rows, kind):
     return table, stats, valid
 
 
+# NOTE (round-3 on-chip finding): a `dynamic_update_slice` contiguous-append
+# variant of the ingest program was built and measured at 14 s per 131k×256
+# i8 chunk on the axon backend (the 3-array dus program lowers pathologically
+# there), while the donated `.at[slots].set` scatter runs the same chunk in
+# 24 ms warm (5.5 M rows/s). The scatter IS the fast path; ingest throughput
+# is bounded by transfer orchestration + host cast, not the scatter.
 @functools.partial(jax.jit, static_argnums=(5, 6, 7), donate_argnums=(0, 1, 2))
 def _cast_scatter_rows(table, stats, valid, slots, x, in_kind, kind, n_pad):
     """Device-resident ingest: cast rows already in HBM to the storage kind,
@@ -687,9 +693,12 @@ class Index:
         return vectors, in_kind
 
     #: chunk size of the pipelined host ingest (rows); at 256d i8 one chunk
-    #: is 8 MB on the wire — big enough to amortize per-transfer overhead,
-    #: small enough that several casts overlap in-flight copies.
-    _PIPELINE_CHUNK = 32768
+    #: is 32 MB on the wire. Measured on the real chip (scripts/
+    #: tpu_ingest_profile.py): 32k chunks collapsed to 3.3k rows/s (per-chunk
+    #: dispatch overhead through the tunnel dominates), 131k chunks reached
+    #: 104k rows/s even on the scatter path — bigger chunks amortize the
+    #: fixed per-dispatch cost while still overlapping cast and copy.
+    _PIPELINE_CHUNK = 131072
     # fresh-list ceiling: bounds the incremental side-scan's [Q, F] tile
     # (~512 MB f32 at Q=1024) and its [F, D] row gather
     _FRESH_MAX = 131072

