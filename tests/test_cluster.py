@@ -394,11 +394,70 @@ def test_ivf_spill_lifts_boundary_recall(rng):
     assert r1 >= r0 - 0.02, (r0, r1)
     assert r1 > 0.5, r1
 
-    # dense layout refuses spill
-    import pytest as _pytest
+    # dense in-place layout: spill via shadow rows, same contract
+    ix2 = Index(ndim=d, metric="l2sq", dtype="f32", expansion_search=8)
+    ix2.add(None, X)
+    ix2.optimize(n_partitions=64, reorder=True, spill=0.3)
+    assert ix2._ivf.spilled and ix2._ivf.shadow_np_pos.size > 0
+    r2 = recall(ix2)
+    assert r2 >= r0 - 0.02, (r0, r2)
+    assert r2 > 0.5, r2
 
-    with _pytest.raises(ValueError):
-        ix0.optimize(n_partitions=64, reorder=True, spill=0.1)
+
+def test_inplace_spill_shadow_semantics(rng):
+    """Dense-layout SOAR shadows stay invisible to the index proper:
+    exact search and counts unchanged, removals/filters propagate to
+    shadows, recycled slots tombstone their shadows."""
+    from usearch_tpu import Index
+
+    d = 16
+    X = _blobs(rng, 60, 24, d, spread=0.9).astype(np.float32)
+    n = len(X)
+    ix = Index(ndim=d, metric="l2sq", dtype="f32", expansion_search=8)
+    ix.add(None, X)
+    ix.optimize(n_partitions=32, reorder=True, spill=0.3)
+    assert ix._ivf.shadow_np_pos.size > 0
+    assert len(ix) == n  # shadows don't inflate the count
+
+    # exact search never sees shadow duplicates
+    m = ix.search(X[:8], 5, exact=True)
+    for row in np.asarray(m.keys):
+        assert len(row) == len(set(row.tolist()))
+
+    # a removed key vanishes from probed results (shadow included)
+    victim = int(np.asarray(ix.search(X[3], 1).keys)[0])
+    ix.remove(victim)
+    got = np.asarray(ix.search(X[3], 10).keys).tolist()
+    assert victim not in got
+
+    # filters propagate through shadows: exclude half the keys
+    allowed = set(range(0, n, 2))
+    mf = ix.search(X[:6], 10, filter=lambda k: k % 2 == 0)
+    for row in np.asarray(mf.keys):
+        for kk in row.tolist():
+            if kk >= 0:
+                assert kk in allowed
+
+    # recycling the removed slot tombstones shadows pointing at it: the new
+    # row is served (fresh side-scan), and no stale bytes under its identity
+    before = ix._ivf.shadow_np_pos.size
+    newv = rng.standard_normal(d).astype(np.float32) * 0.01 + X[victim]
+    ix.add(victim, newv)
+    got2 = np.asarray(ix.search(newv, 5).keys).tolist()
+    assert victim in got2
+    assert ix._ivf.shadow_np_pos.size <= before
+
+    # save/load: shadows are compacted away; the loaded index still serves
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "x.usearch")
+        ix.save(p)
+        ix3 = Index.restore(p)
+        assert len(ix3) == len(ix)
+        m3 = ix3.search(X[:4], 5)
+        for row in np.asarray(m3.keys):
+            live = [kk for kk in row.tolist() if kk >= 0]
+            assert len(live) == len(set(live))
 
 
 def test_staged_topk_matches_exact(rng):

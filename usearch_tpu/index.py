@@ -1411,13 +1411,14 @@ class Index:
         ``spill`` (0..1): SOAR-style spilled assignments — that fraction of
         points (smallest second-centroid margin) is also stored in its
         second-nearest partition, lifting recall when neighbor radius
-        exceeds cell radius. Copied layout only (duplicates cost memory;
-        the in-place dense layout is a permutation and cannot duplicate).
+        exceeds cell radius. In the copied layout the duplicates live in the
+        partition copy; in the dense in-place layout they become SHADOW rows
+        (spill×N extra table rows, masked out of everything but the probe).
 
         ``reorder=True`` PERMUTES the table itself into cluster-major order
         (the reference's `compact` locality move, index.hpp:3590-3682):
-        slots change (keys don't), and the IVF costs no extra table memory —
-        required for 100M-scale tables that fill HBM."""
+        slots change (keys don't), and the IVF costs no extra table memory
+        beyond spill shadows — required for 100M-scale tables that fill HBM."""
         from .ivf import IVFPartitions
 
         if self._count == 0:
@@ -1433,12 +1434,7 @@ class Index:
                 "IVF probing supports dense numeric tables with built-in metrics"
             )
         if reorder:
-            if spill > 0:
-                raise ValueError(
-                    "spill needs duplicate rows; the in-place dense layout is "
-                    "a permutation — use reorder=False with spill"
-                )
-            self._ivf = IVFPartitions.build_inplace(self, n_partitions)
+            self._ivf = IVFPartitions.build_inplace(self, n_partitions, spill=spill)
         else:
             self._ivf = IVFPartitions.build(self, n_partitions, spill=spill)
         self._ivf_dirty = False

@@ -70,6 +70,42 @@ _BIN_KEEP = int(_os.environ.get("USEARCH_TPU_BIN_KEEP", "4"))
 _BIN_SEL = _os.environ.get("USEARCH_TPU_BIN_SEL", "pack")
 
 
+@jax.jit
+def _shadow_extend(valid, shadow_pos, shadow_src):
+    """Re-enable shadow (spill-duplicate) positions in a composed validity
+    mask: shadow ``pos`` is live iff its primary ``src`` is live."""
+    return valid.at[shadow_pos].set(valid[shadow_src])
+
+
+@jax.jit
+def _shadow_canon(ids, shadow_pos, shadow_src):
+    """Map probe-result positions back to primary slots: shadow positions
+    (found by binary search over the sorted shadow list) become their
+    primary's position; everything else passes through. -1 stays -1."""
+    s = shadow_pos.shape[0]
+    j = jnp.clip(jnp.searchsorted(shadow_pos, ids), 0, s - 1)
+    hit = (shadow_pos[j] == ids) & (ids >= 0)
+    return jnp.where(hit, shadow_src[j], ids)
+
+
+def _dedup_trim_host(d, slots, k: int):
+    """Keep the first occurrence of each slot (ascending-distance order),
+    trim to k. Vectorized host numpy: O(Q·kk²) bools."""
+    d_np = np.asarray(d)
+    s_np = np.asarray(slots)
+    kk = d_np.shape[1]
+    j = np.arange(kk)
+    dup = (s_np[:, :, None] == s_np[:, None, :]) & (j[None, None, :] < j[None, :, None])
+    bad = dup.any(-1) | (s_np < 0)
+    push = np.argsort(bad, axis=1, kind="stable")[:, :k]  # firsts forward
+    out_d = np.take_along_axis(d_np, push, axis=1)
+    out_s = np.take_along_axis(s_np, push, axis=1)
+    kept_bad = np.take_along_axis(bad, push, axis=1)
+    out_d[kept_bad] = MASKED
+    out_s[kept_bad] = -1
+    return out_d, out_s
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def _fresh_probe_mask(fresh_slots, cap: int):
     """[cap] bool — False at fresh slots: hides their (missing or stale)
@@ -148,6 +184,38 @@ class IVFPartitions:
         self._pv_cache = None             # (valid ref, part_valid dev)
         self._probe_valid_cache = None    # (valid ref, mask ref, composed)
         self._live_cache = None           # (valid ref, live fraction)
+        # dense-layout SOAR shadows: duplicate positions + their primaries
+        self.shadow_np_pos = np.zeros(0, dtype=np.int32)   # sorted ascending
+        self.shadow_np_src = np.zeros(0, dtype=np.int32)
+        self._shadow_dev = None           # (pos dev, src dev)
+        self._shadow_valid_cache = None   # (valid ref, extended valid dev)
+
+    def set_shadows(self, pos: np.ndarray, src: np.ndarray) -> None:
+        """Install dense-layout spill shadows (sorted by position)."""
+        o = np.argsort(pos, kind="stable")
+        self.shadow_np_pos = np.ascontiguousarray(pos[o], dtype=np.int32)
+        self.shadow_np_src = np.ascontiguousarray(src[o], dtype=np.int32)
+        self._shadow_dev = None
+        self._shadow_valid_cache = None
+        self.spilled = self.shadow_np_pos.size > 0
+
+    def _shadows(self):
+        if self._shadow_dev is None:
+            self._shadow_dev = (
+                jnp.asarray(self.shadow_np_pos),
+                jnp.asarray(self.shadow_np_src),
+            )
+        return self._shadow_dev
+
+    def _shadow_valid(self, valid):
+        """Composed validity extended onto shadow positions: a duplicate is
+        alive iff its primary is alive under the SAME composed mask (so
+        deletions and filters propagate for free). Cached by mask identity."""
+        c = self._shadow_valid_cache
+        if c is None or c[0] is not valid:
+            pos, src = self._shadows()
+            self._shadow_valid_cache = (valid, _shadow_extend(valid, pos, src))
+        return self._shadow_valid_cache[1]
 
     @staticmethod
     def _quantize(
@@ -262,21 +330,27 @@ class IVFPartitions:
         ends = np.searchsorted(sorted_assigns, np.arange(c), side="right")
 
         chunk_rows = []
+        chunk_spill = []  # parallel bool arrays: True at spilled (duplicate) members
         chunk_centroids = []
         for ci in range(c):
             members = sorted_slots[starts[ci] : ends[ci]]
+            flags = np.zeros(len(members), dtype=bool)
             if spill_lists[ci] is not None:
                 members = np.concatenate([members, spill_lists[ci]])
+                flags = np.concatenate(
+                    [flags, np.ones(len(spill_lists[ci]), dtype=bool)]
+                )
             for off in range(0, max(len(members), 1), p_max):
                 chunk_rows.append(members[off : off + p_max])
+                chunk_spill.append(flags[off : off + p_max])
                 chunk_centroids.append(centroids[ci])
-        return chunk_rows, np.stack(chunk_centroids), p_max, n
+        return chunk_rows, chunk_spill, np.stack(chunk_centroids), p_max, n
 
     @staticmethod
     def build(
         index, n_partitions: Optional[int] = None, spill: float = 0.0
     ) -> "IVFPartitions":
-        chunk_rows, centroids, p_max, n = IVFPartitions._quantize(
+        chunk_rows, _, centroids, p_max, n = IVFPartitions._quantize(
             index, n_partitions, spill=spill
         )
         c = len(chunk_rows)
@@ -302,15 +376,27 @@ class IVFPartitions:
         return out
 
     @staticmethod
-    def build_inplace(index, n_partitions: Optional[int] = None) -> "IVFPartitions":
+    def build_inplace(
+        index, n_partitions: Optional[int] = None, spill: float = 0.0
+    ) -> "IVFPartitions":
         """Permute the Index's OWN table into DENSE cluster-major order:
         partition ci occupies rows [starts[ci], starts[ci]+lens[ci]) with no
         per-partition padding (the reference's `compact` + slot_transition
-        remapping, index.hpp:3590-3682). Keys are untouched; slots change."""
+        remapping, index.hpp:3590-3682). Keys are untouched; slots change.
+
+        ``spill`` > 0 adds SOAR spilled assignments as SHADOW rows: the
+        spilled fraction is physically DUPLICATED inside its second-nearest
+        cluster's window (spill×N extra rows — not the copied layout's 2×),
+        but stays invisible to the index proper: shadow positions are
+        valid=False (the exact scan never sees them), keyless, and excluded
+        from the free-slot ring. Probes re-enable them through the
+        shadow-extended validity mask (alive iff their PRIMARY row is alive
+        under the composed deletion/filter mask) and results map back to the
+        primary slot before the duplicate-trim."""
         from .exact import pad_rows as _pad
 
-        chunk_rows, centroids, p_max, n = IVFPartitions._quantize(
-            index, n_partitions, p_cap_mult=1.5
+        chunk_rows, chunk_spill, centroids, p_max, n = IVFPartitions._quantize(
+            index, n_partitions, p_cap_mult=1.5, spill=spill
         )
         c = len(chunk_rows)
         lens = np.array([len(m) for m in chunk_rows], dtype=np.int32)
@@ -324,30 +410,47 @@ class IVFPartitions:
         # position -> old slot (or -1 for padding); all padding sits at the
         # tail — the body is gap-free
         old_of_pos = np.full(cap2, -1, dtype=np.int32)
+        is_shadow = np.zeros(cap2, dtype=bool)
         if body:
             old_of_pos[:body] = np.concatenate(chunk_rows)
+            is_shadow[:body] = np.concatenate(chunk_spill)
 
         old_dev = jnp.asarray(old_of_pos)
         safe = jnp.maximum(old_dev, 0)
+        primary = (old_of_pos >= 0) & ~is_shadow
 
         @jax.jit
-        def permute(table, stats, old_dev, safe):
+        def permute(table, stats, old_dev, safe, primary_dev):
             ok = (old_dev >= 0)[:, None]
             new_table = jnp.where(ok, table[safe], jnp.zeros((), table.dtype))
             new_stats = jnp.where(ok, stats[safe], 0.0)
-            return new_table, new_stats, old_dev >= 0
+            return new_table, new_stats, primary_dev
 
-        new_table, new_stats, new_valid = permute(index._table, index._stats, old_dev, safe)
+        new_table, new_stats, new_valid = permute(
+            index._table, index._stats, old_dev, safe, jnp.asarray(primary)
+        )
 
-        # host-side slot transition (reindex_keys_/slot_transition semantics)
+        # host-side slot transition (reindex_keys_/slot_transition semantics);
+        # shadow positions carry no key and never enter the keymap
         new_slot_keys = np.zeros(cap2, dtype=np.uint64)
-        occupied = old_of_pos >= 0
-        new_slot_keys[occupied] = index._slot_keys[old_of_pos[occupied]]
+        new_slot_keys[primary] = index._slot_keys[old_of_pos[primary]]
         from .keymap import KeyMap
 
         keymap = KeyMap(multi=index._multi)
-        pos = np.nonzero(occupied)[0]
+        pos = np.nonzero(primary)[0]
         keymap.insert_many(new_slot_keys[pos], pos.astype(np.uint64))
+
+        # shadow bookkeeping: duplicate position -> its primary's NEW position
+        shadow_np_pos = np.nonzero(is_shadow)[0].astype(np.int32)
+        if shadow_np_pos.size:
+            new_pos_of_old = np.full(int(index._capacity), -1, dtype=np.int32)
+            new_pos_of_old[old_of_pos[primary]] = pos.astype(np.int32)
+            shadow_np_src = new_pos_of_old[old_of_pos[shadow_np_pos]]
+            ok_sh = shadow_np_src >= 0  # drop shadows whose primary vanished
+            shadow_np_pos = shadow_np_pos[ok_sh]
+            shadow_np_src = shadow_np_src[ok_sh]
+        else:
+            shadow_np_src = np.zeros(0, dtype=np.int32)
 
         index._table = new_table
         index._stats = new_stats
@@ -355,14 +458,17 @@ class IVFPartitions:
         index._capacity = cap2
         index._slot_keys = new_slot_keys
         index._keymap = keymap
-        index._free_slots = np.nonzero(~occupied)[0].tolist()
+        # shadow positions hold live duplicate bytes — they must never be
+        # recycled for new rows while this layout serves
+        index._free_slots = np.nonzero(~(old_of_pos >= 0))[0].tolist()
         index._next_slot = cap2
         if index._host_f64 is not None:
             new_f64 = np.zeros((cap2, index._ndim), dtype=np.float64)
+            occupied = old_of_pos >= 0
             new_f64[occupied] = index._host_f64[old_of_pos[occupied]]
             index._host_f64 = new_f64
 
-        return IVFPartitions(
+        out = IVFPartitions(
             centroids=jnp.asarray(centroids),
             part_table=None,
             part_stats=None,
@@ -374,6 +480,9 @@ class IVFPartitions:
             lens=jnp.asarray(lens),
             p_win=p_win,
         )
+        if shadow_np_pos.size:
+            out.set_shadows(shadow_np_pos, shadow_np_src)
+        return out
 
     def _shape(self):
         if self.inplace_shape is not None:
@@ -388,6 +497,16 @@ class IVFPartitions:
         """Record slots whose rows were added/overwritten after the build.
         They are served by an exact side-scan until the next `optimize`."""
         new = np.asarray(slots, dtype=np.int64)
+        if self.shadow_np_pos.size:
+            # a recycled slot now holds a DIFFERENT vector: shadows pointing
+            # at it would serve the old bytes under the new identity — kill
+            # them permanently (their window rows stay masked: valid[pos] is
+            # False and the extended mask no longer re-enables them)
+            kill = np.isin(self.shadow_np_src.astype(np.int64), new)
+            if kill.any():
+                self.set_shadows(
+                    self.shadow_np_pos[~kill], self.shadow_np_src[~kill]
+                )
         if self.fresh_np.size:
             new = new[~np.isin(new, self.fresh_np)]
         if new.size:
@@ -499,59 +618,16 @@ class IVFPartitions:
 
     def _search_built(self, index, q, valid, k: int, nprobe: int):
         if self.inplace_shape is not None:
-            # +128: window starts are aligned DOWN to 128 rows for the
-            # DMA, so the padded window must cover p_win + the shift
-            w_pad = max(((self.p_win + 127) // 128) * 128 + 128, 256)
-            if w_pad <= int(index._capacity) and self._probe_pallas_ok(index, q, k):
-                args = (
-                    index._metric_kind,
-                    index._dtype,
-                    q,
-                    valid,
-                    self.centroids,
-                    index._table,
-                    index._stats,
-                    self.starts,
-                    self.lens,
-                    k,
-                    nprobe,
-                    w_pad,
-                )
-                if _PROBE_MODE == "pair":
-                    return _ivf_probe_search_dense_pallas(*args)
-                if _PROBE_MODE == "bin" and self._binned_ok(
-                    index, valid, k, nprobe, w_pad
-                ):
-                    return _ivf_probe_search_dense_binned(
-                        *args, 128, _BIN_BW, _BIN_KEEP
-                    )
-                if (
-                    _PROBE_MODE in ("nofold", "bin")
-                    and k <= 64
-                    and nprobe * (w_pad // 128) >= 8 * k
-                ):
-                    # wide probe surfaces: bin_m=4 per 128-row bin (the v1
-                    # kernel's recall-proven density) merged exactly outside;
-                    # small surfaces fall through to the grouped kernel's
-                    # exact-in-window bin_m=k
-                    return _ivf_probe_search_dense_nofold(*args)
-                return _ivf_probe_search_dense_grouped(*args)
-            return _ivf_probe_search_dense(
-                index._metric_kind,
-                index._dtype,
-                q,
-                valid,
-                self.centroids,
-                index._table,
-                index._stats,
-                self.starts,
-                self.lens,
-                index._ndim,
-                k,
-                nprobe,
-                self.p_win,
-                self.block,
-            )
+            if self.spilled and self.shadow_np_pos.size:
+                # shadow duplicates: probe with the extended mask at doubled
+                # depth, map winners to primary slots, drop duplicates
+                kk = min(2 * k, 128)
+                valid_ext = self._shadow_valid(valid)
+                d, slots = self._search_dense(index, q, valid_ext, kk, nprobe)
+                pos, src = self._shadows()
+                slots = _shadow_canon(jnp.asarray(slots), pos, src)
+                return _dedup_trim_host(d, slots, k)
+            return self._search_dense(index, q, valid, k, nprobe)
         kk = min(2 * k, int(self.part_slots.shape[0] * self.part_slots.shape[1])) \
             if self.spilled else k
         pv = self._pv_cache
@@ -573,20 +649,64 @@ class IVFPartitions:
         if self.spilled and kk > k:
             # spilled rows live in two partitions: a probe that hits both
             # yields the same slot twice; keep first occurrences (ascending
-            # distance order), trim to k. Vectorized: O(Q·kk²) numpy bools.
-            d_np = np.asarray(d)
-            s_np = np.asarray(slots)
-            j = np.arange(kk)
-            dup = (s_np[:, :, None] == s_np[:, None, :]) & (j[None, None, :] < j[None, :, None])
-            bad = dup.any(-1) | (s_np < 0)
-            push = np.argsort(bad, axis=1, kind="stable")[:, :k]  # firsts forward
-            out_d = np.take_along_axis(d_np, push, axis=1)
-            out_s = np.take_along_axis(s_np, push, axis=1)
-            kept_bad = np.take_along_axis(bad, push, axis=1)
-            out_d[kept_bad] = MASKED
-            out_s[kept_bad] = -1
-            return out_d, out_s
+            # distance order), trim to k.
+            return _dedup_trim_host(d, slots, k)
         return d, slots
+
+    def _search_dense(self, index, q, valid, k: int, nprobe: int):
+        # +128: window starts are aligned DOWN to 128 rows for the
+        # DMA, so the padded window must cover p_win + the shift
+        w_pad = max(((self.p_win + 127) // 128) * 128 + 128, 256)
+        if w_pad <= int(index._capacity) and self._probe_pallas_ok(index, q, k):
+            args = (
+                index._metric_kind,
+                index._dtype,
+                q,
+                valid,
+                self.centroids,
+                index._table,
+                index._stats,
+                self.starts,
+                self.lens,
+                k,
+                nprobe,
+                w_pad,
+            )
+            if _PROBE_MODE == "pair":
+                return _ivf_probe_search_dense_pallas(*args)
+            if _PROBE_MODE == "bin" and self._binned_ok(
+                index, valid, k, nprobe, w_pad
+            ):
+                return _ivf_probe_search_dense_binned(
+                    *args, 128, _BIN_BW, _BIN_KEEP
+                )
+            if (
+                _PROBE_MODE in ("nofold", "bin")
+                and k <= 64
+                and nprobe * (w_pad // 128) >= 8 * k
+            ):
+                # wide probe surfaces: bin_m=4 per 128-row bin (the v1
+                # kernel's recall-proven density) merged exactly outside;
+                # small surfaces fall through to the grouped kernel's
+                # exact-in-window bin_m=k
+                return _ivf_probe_search_dense_nofold(*args)
+            return _ivf_probe_search_dense_grouped(*args)
+        return _ivf_probe_search_dense(
+            index._metric_kind,
+            index._dtype,
+            q,
+            valid,
+            self.centroids,
+            index._table,
+            index._stats,
+            self.starts,
+            self.lens,
+            index._ndim,
+            k,
+            nprobe,
+            self.p_win,
+            self.block,
+        )
 
 
 
