@@ -176,6 +176,72 @@ def main():
             add_hbm_vs_baseline=round(add_hbm / BASELINE_ADD, 3),
         )
         log(f"device-resident add: {add_hbm:.0f}/s @ {time.perf_counter()-t_start:.0f}s")
+        index.reset()
+
+    # ---- IVF probed serving at the same 1M shape (the engine the 100M
+    # curve exercises: optimize(reorder=True, spill) + grouped Pallas probe).
+    # Runs through the PUBLIC API so BENCH_r0N moves when ivf.py does.
+    if time.perf_counter() - t_start < DEADLINE_S - 180:
+        try:
+            ivf_ix = ut.Index(ndim=NDIM, metric="ip", dtype="i8")
+            # device-resident ingest of the benchmark table itself (i8 rows
+            # already in HBM: no host round trip, ~3M rows/s)
+            ivf_ix.add(np.arange(N_ROWS, dtype=np.uint64), table[:N_ROWS])
+            ivf_ix.optimize(n_partitions=1024, reorder=True, spill=0.05)
+            log(f"ivf built @ {time.perf_counter()-t_start:.0f}s")
+            # nprobe ~= expansion_search * connectivity / avg_rows; target 16
+            ivf_ix.expansion_search = 1024
+            qs = np.asarray(staged[0])  # [BATCH, NDIM] i8 member queries
+            gt1 = query_ids[0]
+            # warm on a DIFFERENT batch: identical (program, args) dispatches
+            # are deduped by this environment's runtime
+            _ = ivf_ix.search(np.asarray(staged[1]), K)
+            t0 = time.perf_counter()
+            m = ivf_ix.search(qs[:BATCH], K)
+            ivf_dt = time.perf_counter() - t0
+            ivf_rec = float(np.mean(np.asarray(m.keys)[:, 0] == gt1))
+            _result.update(
+                ivf_qps=round(BATCH / ivf_dt, 1),
+                ivf_recall_at_1=round(ivf_rec, 4),
+                ivf_nprobe=ivf_ix._ivf.nprobe_for(ivf_ix._expansion_search),
+            )
+            log(
+                f"ivf search: {BATCH/ivf_dt:.0f} QPS recall@1={ivf_rec:.4f} "
+                f"nprobe={_result['ivf_nprobe']} @ {time.perf_counter()-t_start:.0f}s"
+            )
+            del ivf_ix
+        except Exception as e:  # keep the headline JSON alive
+            log(f"ivf stage failed: {e}")
+
+    # ---- streamed (larger-than-HBM) serving: save -> view(stream=True);
+    # the table stays host-resident and tiles stream through HBM per batch.
+    if time.perf_counter() - t_start < DEADLINE_S - 90:
+        try:
+            sm_ix = ut.Index(ndim=NDIM, metric="ip", dtype="i8")
+            n_sm = 1 << 18
+            sm_ix.add(np.arange(n_sm, dtype=np.uint64), table[:n_sm])
+            sm_path = "/tmp/bench_stream.usearch"
+            sm_ix.save(sm_path)
+            sm_ix.reset()
+            sv = ut.Index.restore(sm_path, view=True, stream=True)
+            # member queries from inside the streamed subset: top-1 == self
+            qs = np.asarray(table[:1024])
+            _ = sv.search(np.asarray(table[1024:2048]), K)  # compile + warm
+            t0 = time.perf_counter()
+            m = sv.search(qs, K)
+            sm_dt = time.perf_counter() - t0
+            sm_rec = float(np.mean(np.asarray(m.keys)[:, 0] == np.arange(1024)))
+            _result.update(
+                streamed_qps=round(1024 / sm_dt, 1),
+                streamed_recall_at_1=round(sm_rec, 4),
+                streamed_rows=n_sm,
+            )
+            log(
+                f"streamed view: {1024/sm_dt:.0f} QPS recall@1={sm_rec:.4f} "
+                f"@ {time.perf_counter()-t_start:.0f}s"
+            )
+        except Exception as e:
+            log(f"streamed stage failed: {e}")
 
     _state["done"] = True
     _emit_and_exit()

@@ -106,11 +106,19 @@ def _cast_scatter_rows(table, stats, valid, slots, x, in_kind, kind, n_pad):
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def _prepare_queries_dev(x, in_kind, kind, q_pad, width):
-    """Cast + pad device-resident queries to the table layout under jit."""
+    """Cast + pad device-resident queries to the table layout under jit.
+    Row pads are COPIES of the first query (identical pads share the real
+    query's IVF probe windows — see `_search_prepared`); column pads zero."""
     from .ops.casts import cast_rows_jnp
 
     rows = cast_rows_jnp(x, in_kind, kind)
-    return jnp.pad(rows, ((0, q_pad - rows.shape[0]), (0, width - rows.shape[1])))
+    rows = jnp.pad(rows, ((0, 0), (0, width - rows.shape[1])))
+    n = rows.shape[0]
+    if q_pad > n:
+        rows = jnp.concatenate(
+            [rows, jnp.broadcast_to(rows[:1], (q_pad - n, rows.shape[1]))]
+        )
+    return rows
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -1334,10 +1342,18 @@ class Index:
             n_q = q_rows.shape[0]
             q_pad = pad_queries(n_q)
             if q_pad > n_q:
-                pad_value = -1 if self._is_set_index else 0
-                q_rows = np.concatenate(
-                    [q_rows, np.full((q_pad - n_q, q_rows.shape[1]), pad_value, dtype=q_rows.dtype)]
-                )
+                if self._is_set_index or n_q == 0:
+                    pad_value = -1 if self._is_set_index else 0
+                    pad_rows = np.full(
+                        (q_pad - n_q, q_rows.shape[1]), pad_value, dtype=q_rows.dtype
+                    )
+                else:
+                    # pad with COPIES of the first query, not zeros: zero pads
+                    # probe arbitrary IVF partitions (a Q=1 search paid for up
+                    # to 8x the window DMAs); identical pads share the real
+                    # query's windows, which the grouped probe kernel DMAs once
+                    pad_rows = np.repeat(q_rows[:1], q_pad - n_q, axis=0)
+                q_rows = np.concatenate([q_rows, pad_rows])
             q = jnp.asarray(q_rows, dtype=self._jax_dtype)
 
         if use_ivf:
