@@ -240,3 +240,83 @@ def test_streamed_view_i8_and_binary(rng, tmp_path):
         np.testing.assert_array_equal(a2.keys[:, 0], b2.keys[:, 0])
     finally:
         stream_mod.DEFAULT_TILE_ROWS = old_tile
+
+
+# ---------------------------------------------------------------------------
+# Reference-format (.usearch from unum-cloud/usearch) import interop
+# ---------------------------------------------------------------------------
+
+def _write_reference_file(path, keys, rows, metric_ch, scalar_code, ndim,
+                          deleted=(), connectivity=16, connectivity_base=32,
+                          dims64=False):
+    """Handcraft a reference-format index file per the documented layout
+    (index_dense.hpp:995-1062 + index.hpp:3277-3317): u32/u64 matrix dims,
+    row bytes, 64-byte head, graph header, levels, node tapes."""
+    import struct
+
+    rows = np.ascontiguousarray(rows)
+    n, cols = rows.shape[0], rows.shape[1] * rows.itemsize
+    buf = bytearray()
+    buf += struct.pack("<QQ" if dims64 else "<II", n, cols)
+    buf += rows.tobytes()
+    head = bytearray(64)
+    head[:7] = b"usearch"
+    struct.pack_into("<HHH", head, 7, 2, 21, 0)
+    head[13] = ord(metric_ch)
+    head[14] = scalar_code
+    head[15] = 14  # key u64
+    head[16] = 15  # slot u32
+    struct.pack_into("<QQQ", head, 17, n - len(deleted), len(deleted), ndim)
+    head[41] = 0
+    buf += head
+    # graph stream: header + levels + node tapes (neighbors zeroed)
+    buf += struct.pack("<QQQQQ", n, connectivity, connectivity_base, 1, 0)
+    levels = np.zeros(n, np.int16)
+    levels[0] = 1  # one node with an upper level, to exercise tape strides
+    buf += levels.tobytes()
+    base_b = connectivity_base * 4 + 4
+    upper_b = connectivity * 4 + 4
+    free = (1 << 64) - 1
+    for i in range(n):
+        kk = free if i in deleted else int(keys[i])
+        buf += struct.pack("<Qh", kk, int(levels[i]))
+        buf += b"\0" * (base_b + int(levels[i]) * upper_b)
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
+
+@pytest.mark.parametrize("dims64", [False, True])
+def test_reference_format_import(tmp_path, dims64):
+    rng = np.random.default_rng(0)
+    n, d = 200, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    keys = np.arange(100, 100 + n, dtype=np.uint64)
+    p = str(tmp_path / "ref.usearch")
+    _write_reference_file(p, keys, x, "e", 11, d, deleted={5, 7}, dims64=dims64)
+
+    meta = Index.metadata(p)
+    assert meta and meta["format"] == "reference"
+    assert meta["dtype"] == "f32" and meta["metric"] == "l2sq"
+    assert meta["dimensions"] == d and meta["count_deleted"] == 2
+
+    ix = Index.restore(p)
+    assert len(ix) == n - 2
+    assert 100 + 5 not in ix and 100 + 7 not in ix and 100 + 9 in ix
+    m = ix.search(x[20], 3, exact=True)
+    assert int(np.asarray(m.keys)[0]) == 120
+    got = ix.get(np.uint64(150))
+    np.testing.assert_allclose(got, x[50], rtol=1e-5, atol=1e-5)
+
+
+def test_reference_format_import_i8(tmp_path):
+    rng = np.random.default_rng(1)
+    n, d = 64, 16
+    xi8 = rng.integers(-127, 128, (n, d)).astype(np.int8)
+    keys = np.arange(n, dtype=np.uint64)
+    p = str(tmp_path / "ref8.usearch")
+    _write_reference_file(p, keys, xi8, "c", 23, d)
+    ix = Index.restore(p)
+    assert len(ix) == n
+    # stored representation imported untouched (no re-quantization)
+    stored = np.asarray(ix._table[ix._keymap.slots_of(3)[0]][:d], dtype=np.int8)
+    np.testing.assert_array_equal(stored, xi8[3])

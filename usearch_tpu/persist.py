@@ -210,14 +210,199 @@ def _parse_header(raw: bytes):
     return meta, 20 + hlen
 
 
+# ---------------------------------------------------------------------------
+# Reference-format (.usearch from unum-cloud/usearch) import interop.
+#
+# Layout (reference include/usearch/index_dense.hpp:995-1062, 24-119 and
+# index.hpp:3277-3317, 1863-1869): [u32 rows, u32 cols_bytes] + rows×cols
+# vector matrix, then a 64-byte head ("usearch" magic + u16×3 version +
+# 4×u8 kind enums + u64 count_present/count_deleted/dimensions + bool
+# multi), then the HNSW graph stream: 5×u64 header (size, connectivity,
+# connectivity_base, max_level, entry_slot), size×i16 levels, and per-node
+# tapes [u64 key][i16 level][neighbor blocks]. We import keys + vectors +
+# config and DROP the graph (the TPU engine replaces traversal with
+# scans/IVF); deleted nodes carry the free key (u64 max) and are skipped.
+# ---------------------------------------------------------------------------
+
+_REF_MAGIC = b"usearch"
+_REF_METRICS = {
+    ord("i"): "ip", ord("c"): "cos", ord("e"): "l2sq", ord("p"): "pearson",
+    ord("h"): "haversine", ord("d"): "divergence", ord("b"): "hamming",
+    ord("t"): "tanimoto", ord("s"): "sorensen", ord("j"): "jaccard",
+}
+_REF_SCALARS = {1: "b1", 4: "bf16", 10: "f64", 11: "f32", 12: "f16", 23: "i8"}
+_REF_SLOT_BYTES = {15: 4, 2: 5, 14: 8, 16: 2}  # u32 / u40 / u64 / u16
+_REF_FREE_KEY = (1 << 64) - 1
+
+
+def _ref_parse_head(buf: bytes):
+    """64-byte reference head → dict (raises ValueError on bad magic)."""
+    if buf[:7] != _REF_MAGIC:
+        raise ValueError("not a reference-format head")
+    import struct
+
+    vmaj, vmin, vpat = struct.unpack_from("<HHH", buf, 7)
+    kind_metric, kind_scalar, kind_key, kind_slot = buf[13:17]
+    count_present, count_deleted, dimensions = struct.unpack_from("<QQQ", buf, 17)
+    multi = bool(buf[41])
+    if kind_metric not in _REF_METRICS or kind_scalar not in _REF_SCALARS:
+        raise ValueError(
+            f"unsupported reference kinds metric={kind_metric} scalar={kind_scalar}"
+        )
+    return {
+        "version": f"{vmaj}.{vmin}.{vpat}",
+        "metric": _REF_METRICS[kind_metric],
+        "dtype": _REF_SCALARS[kind_scalar],
+        "slot_bytes": _REF_SLOT_BYTES.get(kind_slot, 4),
+        "count": count_present,
+        "count_deleted": count_deleted,
+        "ndim": dimensions,
+        "multi": multi,
+    }
+
+
+def _ref_sniff(raw_head: bytes, total_len: int):
+    """Locate the reference 64-byte head: (head_offset, matrix_offset,
+    rows, cols, dims64) or None. Mirrors index_dense_metadata_from_path's
+    three probes (index_dense.hpp:253-369): head-first (vectors excluded),
+    u32 matrix dims, u64 matrix dims."""
+    import struct
+
+    if raw_head[:7] == _REF_MAGIC:
+        return 0, None, 0, 0, False
+    for fmt, width, dims64 in (("<II", 8, False), ("<QQ", 16, True)):
+        if len(raw_head) < width:
+            continue
+        rows, cols = struct.unpack_from(fmt, raw_head, 0)
+        off = width + rows * cols
+        if cols and off + 64 <= total_len:
+            return off, width, rows, cols, dims64
+    return None
+
+
+def _ref_read_keys(buf, graph_off: int, expect_rows: int):
+    """Node keys from the graph stream (u64 at each node tape head)."""
+    import struct
+
+    size, connectivity, connectivity_base, _max_level, _entry = struct.unpack_from(
+        "<QQQQQ", buf, graph_off
+    )
+    if expect_rows and size != expect_rows:
+        raise ValueError(f"graph size {size} != matrix rows {expect_rows}")
+    levels = np.frombuffer(buf, dtype="<i2", count=size, offset=graph_off + 40)
+    # per-node tape bytes: head (u64 key + i16 level) + base neighbor block
+    # + level × upper blocks; block = conn*slot_bytes + u32 count
+    # (index.hpp:3731-3747, 2085)
+    return size, levels, connectivity, connectivity_base
+
+
+def load_reference_index(index, path_or_buffer) -> None:
+    """Import a REFERENCE-format `.usearch` file into `index` (keys, vectors,
+    metric/dtype/ndim/multi; the HNSW graph is read for keys and discarded).
+    Raises ValueError when the source has vectors excluded or is not a
+    reference file."""
+    if isinstance(path_or_buffer, (bytes, bytearray, memoryview)):
+        raw = bytes(path_or_buffer)
+    else:
+        with open(os.fspath(path_or_buffer), "rb") as f:
+            raw = f.read()
+    sniffed = _ref_sniff(raw[:16], len(raw))
+    if sniffed is None:
+        raise ValueError("Not a reference-format usearch index")
+    head_off, mat_off, rows, cols, _dims64 = sniffed
+    if mat_off is None:
+        raise ValueError(
+            "reference file has vectors excluded (exclude_vectors=true): "
+            "nothing to import without the matrix"
+        )
+    meta = _ref_parse_head(raw[head_off : head_off + 64])
+
+    # stored rows: [rows, cols] bytes in the reference's storage dtype
+    from .enums import ScalarKind, normalize_dtype, to_numpy_dtype
+
+    kind = normalize_dtype(meta["dtype"])
+    if kind == ScalarKind.B1:
+        per_row, dt = (meta["ndim"] + 7) // 8, np.uint8
+    else:
+        per_row, dt = meta["ndim"], to_numpy_dtype(kind)
+    itemsize = np.dtype(dt).itemsize
+    if per_row * itemsize != cols:
+        raise ValueError(
+            f"matrix row stride {cols} B != {per_row}×{itemsize} B expected "
+            f"for {meta['dtype']} at {meta['ndim']}d"
+        )
+    mat = np.frombuffer(raw, dtype=dt, count=rows * per_row, offset=mat_off)
+    mat = mat.reshape(rows, per_row)
+
+    # node keys from the graph stream that follows the 64-byte head
+    import struct
+
+    graph_off = head_off + 64
+    size, levels, _conn, _connb = _ref_read_keys(raw, graph_off, rows)
+    keys = np.empty(size, dtype=np.uint64)
+    pos = graph_off + 40 + 2 * size
+    slot_b = meta["slot_bytes"]
+    # block sizes from the graph header's own connectivity values
+    _, conn, connb = struct.unpack_from("<QQQ", raw, graph_off)[0:3]
+    base_bytes = connb * slot_b + 4
+    upper_bytes = conn * slot_b + 4
+    for i in range(size):
+        keys[i] = struct.unpack_from("<Q", raw, pos)[0]
+        pos += 10 + base_bytes + int(levels[i]) * upper_bytes
+    live = keys != np.uint64(_REF_FREE_KEY)
+    if meta["count_deleted"] == 0:
+        live[:] = True
+
+    pmeta = {
+        "metric": meta["metric"],
+        "dtype": meta["dtype"],
+        "ndim": meta["ndim"],
+        "count": int(live.sum()),
+        "multi": meta["multi"],
+        "set_index": False,
+    }
+    _populate(index, pmeta, keys[live], mat[live])
+
+
 def index_metadata(path_or_buffer) -> dict:
     """Sniff file/buffer metadata without loading vectors — the analog of
     `index_dense_metadata_from_path` (reference: index_dense.hpp:253-369)."""
     if isinstance(path_or_buffer, (bytes, bytearray, memoryview)):
         raw = bytes(path_or_buffer[:4096])
+        total = len(path_or_buffer)
     else:
-        with open(os.fspath(path_or_buffer), "rb") as f:
+        p = os.fspath(path_or_buffer)
+        with open(p, "rb") as f:
             raw = f.read(4096)
+        total = os.path.getsize(p)
+    if raw[:12] != MAGIC:
+        # reference-format interop: sniff the foreign layout
+        sniffed = _ref_sniff(raw[:16], total)
+        if sniffed is not None:
+            head_off, mat_off, _rows, _cols, dims64 = sniffed
+            if isinstance(path_or_buffer, (bytes, bytearray, memoryview)):
+                hb = bytes(path_or_buffer[head_off : head_off + 64])
+            else:
+                with open(p, "rb") as f:
+                    f.seek(head_off)
+                    hb = f.read(64)
+            rmeta = _ref_parse_head(hb)
+            return {
+                "matrix_included": mat_off is not None,
+                "matrix_uses_64_bit_dimensions": dims64,
+                "version": rmeta["version"],
+                "kind_metric": rmeta["metric"],
+                "kind_scalar": rmeta["dtype"],
+                "kind_key": "u64",
+                "kind_compressed_slot": f"u{rmeta['slot_bytes'] * 8}",
+                "count_present": rmeta["count"],
+                "count_deleted": rmeta["count_deleted"],
+                "dimensions": rmeta["ndim"],
+                "multi": rmeta["multi"],
+                "metric": rmeta["metric"],
+                "dtype": rmeta["dtype"],
+                "format": "reference",
+            }
     meta, _ = _parse_header(raw)
     return {
         "matrix_included": True,
@@ -292,6 +477,13 @@ def _device_memory_budget() -> int:
 
 
 def load_index_into(index, path: str, view: bool = False, stream=None) -> None:
+    with open(os.fspath(path), "rb") as f:
+        sig = f.read(16)
+    if sig[:12] != MAGIC and _ref_sniff(sig, os.path.getsize(os.fspath(path))):
+        # reference-format file: full import (no mmap view of a foreign
+        # layout — the matrix is copied through the normal ingest path)
+        load_reference_index(index, path)
+        return
     meta, keys, rows = _load_arrays(path, view)
     if view and stream is None:
         # auto-stream: a table above ~60% of HBM can't serve beside the
@@ -325,6 +517,10 @@ def _populate_streamed(index, meta: dict, keys: np.ndarray, rows: np.ndarray) ->
 
 
 def load_index_from_buffer(index, buffer) -> None:
+    sig = bytes(buffer[:16])
+    if sig[:12] != MAGIC and _ref_sniff(sig, len(buffer)):
+        load_reference_index(index, buffer)
+        return
     meta, keys, rows = _load_arrays(buffer, view=False)
     _populate(index, meta, keys, rows)
     _restore_ivf(index, meta, bytes(buffer), rows)
