@@ -60,6 +60,15 @@ def main():
     threading.Thread(target=_watchdog, daemon=True).start()
 
     import jax
+
+    # persistent compile cache: immune to the tunnel's 30-380 s
+    # first-compile lottery once a program has compiled anywhere before
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     import usearch_tpu as ut

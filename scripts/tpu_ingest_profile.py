@@ -24,6 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# Persistent compile cache: compiles through this environment's tunnel hit a
+# 30-380 s first-compile lottery per process; the on-disk cache (verified to
+# work on this backend) makes every re-run skip it.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 if os.environ.get("INGEST_CPU") == "1":  # smoke: force platform via config
     jax.config.update("jax_platforms", "cpu")
 
