@@ -123,17 +123,44 @@ def gen_queries(rng_seed, n_q):
     return jnp.clip(jnp.round(x * 127.0), -127, 127).astype(jnp.int8)
 
 
-@jax.jit
-def make_table(order):  # order: [N] i32 row ids to generate, in position order
-    return jax.lax.map(gen_block, order.reshape(GCHUNKS, -1)).reshape(-1, W)
+# Chunked generation: the old single-program `lax.map(gen_block, [128, ...])`
+# monster took the tunnel's first-compile lottery at its worst (three runs
+# wedged >10-30 min in compile); the per-chunk program compiles in seconds
+# and runs 128 donated dynamic_update_slice dispatches instead.
+@functools.partial(jax.jit, static_argnums=(2,))
+def _gen_chunk(order, start, cs):
+    ids = jax.lax.dynamic_slice_in_dim(order, start, cs, 0)
+    return gen_block(ids)
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_chunk(table, rows, start):
+    return jax.lax.dynamic_update_slice(table, rows, (start, jnp.int32(0)))
+
+
+def make_table(order):  # order: [rows] i32 row ids to generate, position order
+    cs = order.shape[0] // GCHUNKS
+    table = jnp.zeros((order.shape[0], W), jnp.int8)
+    for i in range(GCHUNKS):
+        rows = _gen_chunk(order, jnp.int32(i * cs), cs)
+        table = _write_chunk(table, rows, jnp.int32(i * cs))
+    return table
+
+
+@functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+def _write_stats(stats, table, cs, start):
+    rows = jax.lax.dynamic_slice_in_dim(table, start, cs, 0)
+    return jax.lax.dynamic_update_slice(
+        stats, row_stats(rows, ScalarKind.I8), (start, jnp.int32(0))
+    )
+
+
 def make_stats(table):
-    def one(rows):
-        return row_stats(rows, ScalarKind.I8)
-
-    return jax.lax.map(one, table.reshape(GCHUNKS, -1, W)).reshape(-1, 2)
+    cs = table.shape[0] // GCHUNKS
+    stats = jnp.zeros((table.shape[0], 2), jnp.float32)
+    for i in range(GCHUNKS):
+        stats = _write_stats(stats, table, cs, jnp.int32(i * cs))
+    return stats
 
 
 def main():
