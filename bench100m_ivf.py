@@ -188,6 +188,54 @@ def main():
         except Exception as e:  # corrupt/partial file: refit
             log(f"fit cache unreadable ({e}); refitting")
             cached = None
+    # ---- cheap fit COARSENING: merge an existing C_base fit (e.g. 65536)
+    # down to N_CENTROIDS superclusters by k-means over the base centroids —
+    # ~1 min instead of the ~15 min 100M refit. Fewer/larger partitions is
+    # the window-sharing lever: at Q·nprobe/C pairs per partition the grouped
+    # kernel DMAs each window once per cell, so halving C roughly halves
+    # HBM traffic per pair while scanning MORE rows per probe (higher recall
+    # at equal nprobe). Usage: B100M_COARSEN=65536 B100M_C=16384.
+    coarsen_from = int(os.environ.get("B100M_COARSEN", "0"))
+    if cached is None and coarsen_from > N_CENTROIDS:
+        base_path = cache_path.replace(f"_C{N_CENTROIDS}_", f"_C{coarsen_from}_")
+        if os.path.exists(base_path):
+            from usearch_tpu.kmeans import kmeans as _kmeans_flat
+
+            base = np.load(base_path)
+            b_assigns = base["assigns"].astype(np.int64)
+            b_cents = base["centroids"]
+            b_counts = np.bincount(b_assigns, minlength=b_cents.shape[0])
+            sup, _, _ = _kmeans_flat(
+                jnp.asarray(b_cents), N_CENTROIDS, metric=MetricKind.IP,
+                max_iterations=25, seed=3,
+            )
+            sup = np.asarray(sup, np.int64)
+            # probe centroids = count-weighted mean of merged base centroids
+            ncent = int(sup.max()) + 1
+            wsum = np.zeros((ncent, b_cents.shape[1]), np.float64)
+            wcnt = np.zeros(ncent, np.float64)
+            np.add.at(wsum, sup, b_cents * b_counts[:, None])
+            np.add.at(wcnt, sup, b_counts)
+            centroids = (wsum / np.maximum(wcnt, 1)[:, None]).astype(np.float32)
+            assigns = sup[b_assigns]
+            spill_ids = base["spill_ids"].astype(np.int32)
+            spill_into = sup[base["spill_into"].astype(np.int64)]
+            # spill pairs merged into their primary's supercluster are dead
+            # weight (duplicate inside the same window): drop them
+            live = spill_into != assigns[spill_ids]
+            spill_ids, spill_into = spill_ids[live], spill_into[live]
+            log(
+                f"coarsened {coarsen_from} -> {ncent} centroids from "
+                f"{base_path}; spill kept {live.sum()}/{live.size}"
+            )
+            if cache_path:
+                np.savez(cache_path, assigns=assigns.astype(np.int32),
+                         centroids=centroids, spill_ids=spill_ids,
+                         spill_into=spill_into.astype(np.int32))
+            cached = {"assigns": assigns, "centroids": centroids,
+                      "spill_ids": spill_ids, "spill_into": spill_into}
+        else:
+            log(f"coarsen base {base_path} missing; full refit")
     if cached is not None:
         assigns = cached["assigns"].astype(np.int64)
         centroids = cached["centroids"]
