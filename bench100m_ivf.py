@@ -144,6 +144,9 @@ def make_table(order):  # order: [rows] i32 row ids to generate, position order
     for i in range(GCHUNKS):
         rows = _gen_chunk(order, jnp.int32(i * cs), cs)
         table = _write_chunk(table, rows, jnp.int32(i * cs))
+        if i % 16 == 0 or i == GCHUNKS - 1:
+            table.block_until_ready()
+            log(f"  gen chunk {i + 1}/{GCHUNKS}")
     return table
 
 
