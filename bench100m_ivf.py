@@ -326,11 +326,17 @@ def main():
     stats = make_stats(table)
     valid = jnp.ones((N,), jnp.bool_)
 
+    # scan chunk scaled so the [Q, chunk] f32 distance tile stays ~2 GiB:
+    # at Q=16384 the 65536-chunk tile is 4.3 GiB of program temp on top of
+    # the 12 GiB table and OOMs the chip
+    scan_chunk = max(8192, 65536 * 8192 // max(Q, 8192))
+
     @functools.partial(jax.jit, static_argnums=(4, 5))
     def exact_fn(q, table, stats, valid, approx, k):
         qs = row_stats(q, ScalarKind.I8)
         return scan_topk(
-            MetricKind.IP, ScalarKind.I8, q, qs, table, stats, valid, k, 65536, D, None, approx
+            MetricKind.IP, ScalarKind.I8, q, qs, table, stats, valid, k,
+            scan_chunk, D, None, approx
         )[1]
 
     def exact(q, approx=False, k=K):

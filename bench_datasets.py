@@ -141,8 +141,9 @@ def main():
         except Exception as e:  # keep the table going; report the failure
             log(f"{fam[0]} FAILED: {e}")
             rows.append({"family": fam[0], "error": str(e)[:200]})
-    with open("BENCH_DATASETS.json", "w") as f:
-        json.dump({"scale": SCALE, "rows": rows}, f, indent=1)
+        # incremental write: a wall-clock kill still leaves the finished rows
+        with open("BENCH_DATASETS.json", "w") as f:
+            json.dump({"scale": SCALE, "rows": rows}, f, indent=1)
     # markdown table
     print("\n| family | N | add/s | exact-serving QPS (r@1) | best IVF point |")
     print("|---|---|---|---|---|")
