@@ -25,10 +25,14 @@ import time
 
 import numpy as np
 
-if os.environ.get("BD_CPU", "0") == "1":
-    import jax
+import jax
 
+if os.environ.get("BD_CPU", "0") == "1":
     jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: immune to the tunnel's first-compile lottery
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import usearch_tpu as ut
 
@@ -134,8 +138,16 @@ def run_family(name, n, d, metric, dtype, ref):
 
 def main():
     t_start = time.perf_counter()
+    only = [s for s in os.environ.get("BD_ONLY", "").split(",") if s]
     rows = []
+    if only and os.path.exists("BENCH_DATASETS.json"):
+        # partial re-run: keep other families' existing full-scale rows
+        with open("BENCH_DATASETS.json") as f:
+            rows = [r for r in json.load(f)["rows"]
+                    if not any(s in r.get("family", "") for s in only)]
     for fam in FAMILIES:
+        if only and not any(s in fam[0] for s in only):
+            continue
         try:
             rows.append(run_family(*fam))
         except Exception as e:  # keep the table going; report the failure

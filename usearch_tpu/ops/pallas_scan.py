@@ -36,6 +36,17 @@ from .distances import MASKED
 DEFAULT_Q_TILE = 512
 DEFAULT_T_TILE = 2048
 _LANES = 128
+
+
+def _vmem_params(interpret):
+    """Raise the scoped-VMEM ceiling (default 16 MB): f32 tables at the
+    default tile shapes sit just past it (observed 16.25 MB at
+    1M x 256 f32, Q=8192); physical VMEM is far larger."""
+    if interpret:
+        return None
+    from jax.experimental.pallas import tpu as pltpu
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 #: top-k capacity of the output accumulator (one lane group)
 KPAD = 128
 
@@ -205,6 +216,7 @@ def pallas_search(
             jax.ShapeDtypeStruct((n_q, KPAD), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=_vmem_params(interpret),
     )(q, q_aux, table, t_aux)
 
     d_out = out_d[:, :k]
@@ -374,6 +386,7 @@ def pallas_search_dma(
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
+        compiler_params=_vmem_params(interpret),
     )(q, q_aux, table, t_aux)
 
     d_out = out_d[:, :k]
@@ -581,6 +594,7 @@ def pallas_search_binned(
             jax.ShapeDtypeStruct((total_bins, n_q), i_dtype),
         ],
         interpret=interpret,
+        compiler_params=_vmem_params(interpret),
     )(q, q_aux, table, t_aux)
 
     if compact:
@@ -727,6 +741,7 @@ def pallas_search_exact(
         out_specs=pl.BlockSpec((n_bins, q_tile), lambda qi, ti: (ti, qi)),
         out_shape=jax.ShapeDtypeStruct((total_bins, n_q), jnp.float32),
         interpret=interpret,
+        compiler_params=_vmem_params(interpret),
     )(q, q_aux, table, t_aux)
 
     b = min(k + _EXACT_BIN_SLACK, total_bins)
