@@ -320,6 +320,15 @@ class IVFPartitions:
         # the probe ranking.
         avg = max(int(np.ceil(n / max(c, 1))), 1)
         p_cap = ((int(p_cap_mult * avg) + 7) // 8) * 8
+        # Absolute chunk cap: when the fit collapses (natural cluster count
+        # below n_partitions, e.g. blob-structured corpora), avg — and with
+        # it the 1.5x/4x relative cap — explodes; a 15k-row probe window
+        # put the grouped Pallas kernel's [w_pad, g] temporaries at 118 MB
+        # of scoped VMEM (10M x 96d run). Splitting at 4096 keeps every
+        # window kernel-compilable; probe cost is unchanged (same rows, one
+        # extra DMA per split, and tied centroid scores keep split chunks
+        # adjacent in the probe ranking).
+        p_cap = min(p_cap, int(_os.environ.get("USEARCH_TPU_PCAP", "4096")))
         p_max = min(max(int(counts.max()), 8), p_cap)
         p_max = ((p_max + 7) // 8) * 8  # sublane-align partition depth
 
@@ -690,7 +699,13 @@ class IVFPartitions:
                 # small surfaces fall through to the grouped kernel's
                 # exact-in-window bin_m=k
                 return _ivf_probe_search_dense_nofold(*args)
-            return _ivf_probe_search_dense_grouped(*args)
+            # grouped kernel scoped-VMEM guard: the exact-in-window mode
+            # (bin_m=k, taken when the probe surface is narrow) keeps ~k
+            # live [w_pad, g] window surfaces on the stack; past the
+            # kernel's 96 MB ceiling fall back to the XLA probe
+            bin_m_eff = 4 if nprobe * (w_pad // 128) >= 8 * k else k
+            if (bin_m_eff + 15) * w_pad * 512 <= 96 * 1024 * 1024:
+                return _ivf_probe_search_dense_grouped(*args)
         return _ivf_probe_search_dense(
             index._metric_kind,
             index._dtype,

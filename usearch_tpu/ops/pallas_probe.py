@@ -496,8 +496,10 @@ def pallas_ivf_probe_grouped_nofold(
         compiler_params=None if interpret else pltpu.CompilerParams(
             # the unrolled bin-extract temporaries sit just past the 16 MB
             # default scoped-VMEM limit at spilled-100M window shapes
-            # (w_pad 2560: 16.15 MB); physical VMEM is far larger
-            vmem_limit_bytes=48 * 1024 * 1024,
+            # (w_pad 2560: 16.15 MB), and the grouped kernel's exact
+            # bin_m=k mode keeps ~k live [w_pad, g] surfaces; physical
+            # VMEM is 128 MB (dispatch guards the pathological combos)
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
     )(meta, q_g, q_aux_g, table, t_aux)
     d_out = out_d
@@ -729,8 +731,10 @@ def pallas_ivf_probe_binned(
         compiler_params=None if interpret else pltpu.CompilerParams(
             # the unrolled bin-extract temporaries sit just past the 16 MB
             # default scoped-VMEM limit at spilled-100M window shapes
-            # (w_pad 2560: 16.15 MB); physical VMEM is far larger
-            vmem_limit_bytes=48 * 1024 * 1024,
+            # (w_pad 2560: 16.15 MB), and the grouped kernel's exact
+            # bin_m=k mode keeps ~k live [w_pad, g] surfaces; physical
+            # VMEM is 128 MB (dispatch guards the pathological combos)
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
     )(meta, q_g, q_aux_g, table)
     return out_d, out_i
@@ -788,8 +792,10 @@ def pallas_ivf_probe_grouped(
         compiler_params=None if interpret else pltpu.CompilerParams(
             # the unrolled bin-extract temporaries sit just past the 16 MB
             # default scoped-VMEM limit at spilled-100M window shapes
-            # (w_pad 2560: 16.15 MB); physical VMEM is far larger
-            vmem_limit_bytes=48 * 1024 * 1024,
+            # (w_pad 2560: 16.15 MB), and the grouped kernel's exact
+            # bin_m=k mode keeps ~k live [w_pad, g] surfaces; physical
+            # VMEM is 128 MB (dispatch guards the pathological combos)
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
     )(meta, q_g, q_aux_g, table, t_aux)
 
@@ -860,8 +866,10 @@ def pallas_ivf_probe(
         compiler_params=None if interpret else pltpu.CompilerParams(
             # the unrolled bin-extract temporaries sit just past the 16 MB
             # default scoped-VMEM limit at spilled-100M window shapes
-            # (w_pad 2560: 16.15 MB); physical VMEM is far larger
-            vmem_limit_bytes=48 * 1024 * 1024,
+            # (w_pad 2560: 16.15 MB), and the grouped kernel's exact
+            # bin_m=k mode keeps ~k live [w_pad, g] surfaces; physical
+            # VMEM is 128 MB (dispatch guards the pathological combos)
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
     )(starts_c, offs, lens, q, q_aux, table, t_aux)
 
