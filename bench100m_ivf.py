@@ -328,8 +328,11 @@ def main():
 
     # scan chunk scaled so the [Q, chunk] f32 distance tile stays ~2 GiB:
     # at Q=16384 the 65536-chunk tile is 4.3 GiB of program temp on top of
-    # the 12 GiB table and OOMs the chip
+    # the 12 GiB table and OOMs the chip. Rounded DOWN to a power of two so
+    # it always divides N = 1526·65536 (scan_topk asserts divisibility;
+    # non-pow2 Q like 12288 would otherwise produce a non-dividing chunk).
     scan_chunk = max(8192, 65536 * 8192 // max(Q, 8192))
+    scan_chunk = 1 << (scan_chunk.bit_length() - 1)
 
     @functools.partial(jax.jit, static_argnums=(4, 5))
     def exact_fn(q, table, stats, valid, approx, k):

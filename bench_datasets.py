@@ -21,6 +21,7 @@ CPU smoke: BD_CPU=1 BD_SCALE=0.02 python bench_datasets.py
 
 import json
 import os
+import re
 import time
 
 import numpy as np
@@ -78,14 +79,25 @@ def corpus(n, d, seed):
 def run_family(name, n, d, metric, dtype, ref):
     n = max(int(n * SCALE), 20_000)
     vecs, q = corpus(n, d, seed=42)
+    # scale/Q recorded PER ROW: BD_ONLY partial re-runs merge rows measured
+    # under different settings, so a single top-level scale would lie
     row = {"family": name, "n": n, "ndim": d, "metric": metric,
-           "dtype": dtype, "reference": ref}
+           "dtype": dtype, "scale": SCALE, "q_bench": Q_BENCH,
+           "reference": ref}
 
     # host-API add throughput (includes cast + host->device transfer)
     ix = ut.Index(ndim=d, metric=metric, dtype=dtype, expansion_search=64)
     n_add = min(n, 131_072)
     ix.add(np.arange(n_add, dtype=np.uint64), vecs[:n_add])
+    # drain the warm-up's async work (incl. first-use program compiles,
+    # which this backend defers to first execution) with a VALUE FETCH —
+    # jax.block_until_ready returns without forcing execution through the
+    # axon tunnel; only np.asarray does. Without this the timed add below
+    # absorbs minutes of compile time (the whole "f32 adds 57x slow" r3
+    # artifact: steady-state f32 ingest is actually >1M rows/s).
+    _ = np.asarray(ix._valid[:1])
     ix.clear()
+    _ = np.asarray(ix._valid[:1])
     t0 = time.perf_counter()
     ix.add(np.arange(n_add, dtype=np.uint64), vecs[:n_add])
     _ = np.asarray(ix._valid[:1])
@@ -152,7 +164,10 @@ def main():
             rows.append(run_family(*fam))
         except Exception as e:  # keep the table going; report the failure
             log(f"{fam[0]} FAILED: {e}")
-            rows.append({"family": fam[0], "error": str(e)[:200]})
+            # persisted error strings: ANSI escapes and tunnel URLs stripped
+            msg = re.sub(r"\x1b\[[0-9;]*m", "", str(e))
+            msg = re.sub(r"https?://\S+", "<url>", msg)
+            rows.append({"family": fam[0], "error": msg[:200]})
         # incremental write: a wall-clock kill still leaves the finished rows
         with open("BENCH_DATASETS.json", "w") as f:
             json.dump({"scale": SCALE, "rows": rows}, f, indent=1)

@@ -702,8 +702,13 @@ class IVFPartitions:
             # grouped kernel scoped-VMEM guard: the exact-in-window mode
             # (bin_m=k, taken when the probe surface is narrow) keeps ~k
             # live [w_pad, g] window surfaces on the stack; past the
-            # kernel's 96 MB ceiling fall back to the XLA probe
-            bin_m_eff = 4 if nprobe * (w_pad // 128) >= 8 * k else k
+            # kernel's 96 MB ceiling fall back to the XLA probe. bin_m is
+            # clamped to the kernel's own min(k, 16) so large k doesn't
+            # over-estimate. The rank-form in-loop distances
+            # (_window_dists) keep L2sq/cos inside the same envelope as IP
+            # (verified scripts/tpu_grouped_vmem_matrix.py: all metrics OK
+            # at w_pad 4352 / bin_m 10).
+            bin_m_eff = 4 if nprobe * (w_pad // 128) >= 8 * k else min(k, 16)
             if (bin_m_eff + 15) * w_pad * 512 <= 96 * 1024 * 1024:
                 return _ivf_probe_search_dense_grouped(*args)
         return _ivf_probe_search_dense(

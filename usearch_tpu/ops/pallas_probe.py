@@ -53,7 +53,20 @@ _KPAD = 128
 
 def _window_dists(metric: MetricKind, dots, q_sq, t_aux_w):
     """dots [W, q_sub] + q_sq [q_sub] + window aux [aux_rows, W] → f32
-    distances [W, q_sub] with the deleted-row penalty folded in."""
+    RANK-FORM distances [W, q_sub] with the deleted-row penalty folded in.
+
+    The rank form drops every term that is constant along the lane (query)
+    axis — for L2sq the ``q_sq`` addend and the final clamp, for cos the
+    per-lane ``1/sqrt(q_sq)`` scale and the ``1 +`` shift. Ordering within
+    a lane is preserved (the dropped transforms are strictly monotonic per
+    lane), so the running top-k fold is unaffected; `_rank_epilogue`
+    restores final metric values once per cell after the fold. This keeps
+    the in-loop expression structurally identical to IP's (one broadcast
+    multiply-add over the aux column), which is what keeps the kernel
+    inside the Mosaic scoped-VMEM envelope: the old in-loop L2/cos
+    epilogues measured 118-126 MB of kernel stack where IP needs <48 MB at
+    the same (w_pad, bin_m) — the exact compile failure BENCH_DATASETS r3
+    hit on every l2sq/cos family (scripts/tpu_grouped_vmem_matrix.py)."""
     dots = dots.astype(jnp.float32)
     if t_aux_w.shape[0] == 1:  # lean IP aux: penalty row only
         t_sq = None
@@ -61,21 +74,40 @@ def _window_dists(metric: MetricKind, dots, q_sq, t_aux_w):
     else:
         t_sq = t_aux_w[0, :][:, None]
         penalty = t_aux_w[2, :][:, None]
-    qs = q_sq[None, :]
     if metric == MetricKind.IP:
         d = 1.0 - dots
     elif metric == MetricKind.Cos:
-        denom = jnp.sqrt(qs) * jnp.sqrt(t_sq)
-        safe = jnp.where(denom == 0.0, 1.0, denom)
-        base = 1.0 - dots / safe
-        one_zero = (qs == 0.0) ^ (t_sq == 0.0)
-        both_zero = (qs == 0.0) & (t_sq == 0.0)
-        d = jnp.where(both_zero, 0.0, jnp.where(one_zero, 1.0, base))
+        # rank form: -dot/|t|; |q| scaling + the "1 +" shift move to the
+        # epilogue. Zero-norm semantics (reference index_plugins.hpp:1353):
+        # t==0 rows score 0 → epilogue 1; both-zero rows score -1 →
+        # epilogue 1 + (-1)·1 = 0; zero queries have dots == 0 exactly.
+        rsqrt_t = jnp.where(t_sq == 0.0, 0.0, 1.0 / jnp.sqrt(t_sq))
+        d = -(dots * rsqrt_t)
+        both_zero = (t_sq == 0.0) & (q_sq[None, :] == 0.0)
+        d = jnp.where(both_zero, -1.0, d)
     elif metric == MetricKind.L2sq:
-        d = jnp.maximum(qs + t_sq - 2.0 * dots, 0.0)
+        # rank form: |t|² - 2·dot; the + |q|² shift and ≥0 clamp move to
+        # the epilogue.
+        d = t_sq - 2.0 * dots
     else:
         raise ValueError(f"probe kernel supports ip/cos/l2sq, got {metric}")
     return d + penalty
+
+
+def _rank_epilogue(metric: MetricKind, acc, q_sq):
+    """Map the fold's rank-form accumulator [g, k_pad] back to final metric
+    distances using the per-lane constants dropped by `_window_dists`.
+    MASKED/penalty slots (≥ MASKED/2) pass through untouched so callers'
+    empty-slot detection keeps working."""
+    if metric == MetricKind.IP:
+        return acc
+    qs = q_sq[:, None]
+    keep = acc >= MASKED / 2
+    if metric == MetricKind.L2sq:
+        return jnp.where(keep, acc, jnp.maximum(acc + qs, 0.0))
+    # cos
+    scale = jnp.where(qs == 0.0, 1.0, 1.0 / jnp.sqrt(qs))
+    return jnp.where(keep, acc, 1.0 + acc * scale)
 
 
 def _make_probe_kernel(
@@ -194,7 +226,7 @@ def _make_probe_kernel(
 
         jax.lax.fori_loop(0, n_win, body, 0)
         # one transpose per cell: [KPAD, q_sub] scratch → [q_sub, KPAD] block
-        out_d_ref[:] = acc_d[:].T
+        out_d_ref[:] = _rank_epilogue(metric, acc_d[:].T, q_sq)
         out_i_ref[:] = acc_i[:].T
 
     return kernel
@@ -316,7 +348,7 @@ def _make_grouped_kernel(
             return 0
 
         jax.lax.fori_loop(0, n_win, body, 0)
-        out_d_ref[:] = acc_d[:].T
+        out_d_ref[:] = _rank_epilogue(metric, acc_d[:].T, q_sq)
         out_i_ref[:] = acc_i[:].T
 
     return kernel
@@ -433,7 +465,7 @@ def _make_grouped_nofold_kernel(
             return 0
 
         jax.lax.fori_loop(0, n_win, body, 0)
-        out_d_ref[:] = acc_d[:].T
+        out_d_ref[:] = _rank_epilogue(metric, acc_d[:].T, q_sq)
         out_i_ref[:] = acc_i[:].T
 
     return kernel
