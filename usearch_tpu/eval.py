@@ -203,8 +203,29 @@ class Dataset:
         )
 
 
+def _combine_rates(
+    n_a: Optional[int], rate_a: Optional[float],
+    n_b: Optional[int], rate_b: Optional[float],
+) -> Tuple[Optional[int], Optional[float]]:
+    """Merge two (operation-count, ops-per-second) measurements into the
+    (count, rate) an uninterrupted run over both workloads would report:
+    total operations over total elapsed seconds. Empty measurements pass
+    the other side through unchanged."""
+    if not n_a:
+        return n_b, rate_b
+    if not n_b:
+        return n_a, rate_a
+    elapsed = n_a / rate_a + n_b / rate_b
+    return n_a + n_b, (n_a + n_b) / elapsed
+
+
 @dataclass
 class TaskResult:
+    """One task's throughput/recall measurement. Addition accumulates:
+    summing the per-batch results of sliced tasks yields the figures of the
+    whole run (rates combine over total elapsed time, recall averages
+    weighted by query count)."""
+
     add_operations: Optional[int] = None
     add_per_second: Optional[float] = None
     search_operations: Optional[int] = None
@@ -220,33 +241,31 @@ class TaskResult:
         return self.search_operations / self.search_per_second
 
     def __add__(self, other: "TaskResult") -> "TaskResult":
-        result = TaskResult()
-        if self.add_operations and other.add_operations:
-            result.add_operations = self.add_operations + other.add_operations
-            result.add_per_second = result.add_operations / (
-                self.add_seconds + other.add_seconds
-            )
-        else:
-            for source in (self, other):
-                if source.add_operations:
-                    result.add_operations = source.add_operations
-                    result.add_per_second = source.add_per_second
-        if self.search_operations and other.search_operations:
-            result.search_operations = self.search_operations + other.search_operations
-            result.search_per_second = result.search_operations / (
-                self.search_seconds + other.search_seconds
-            )
-            result.recall_at_one = (
-                self.recall_at_one * self.search_operations
-                + other.recall_at_one * other.search_operations
-            ) / result.search_operations
-        else:
-            for source in (self, other):
-                if source.search_operations:
-                    result.search_operations = source.search_operations
-                    result.search_per_second = source.search_per_second
-                    result.recall_at_one = source.recall_at_one
-        return result
+        adds, add_rate = _combine_rates(
+            self.add_operations, self.add_per_second,
+            other.add_operations, other.add_per_second,
+        )
+        searches, search_rate = _combine_rates(
+            self.search_operations, self.search_per_second,
+            other.search_operations, other.search_per_second,
+        )
+        hits = [
+            (r.recall_at_one, r.search_operations)
+            for r in (self, other)
+            if r.search_operations and r.recall_at_one is not None
+        ]
+        recall = (
+            sum(rc * nq for rc, nq in hits) / sum(nq for _, nq in hits)
+            if hits
+            else (self.recall_at_one if self.search_operations else other.recall_at_one)
+        )
+        return TaskResult(
+            add_operations=adds,
+            add_per_second=add_rate,
+            search_operations=searches,
+            search_per_second=search_rate,
+            recall_at_one=recall,
+        )
 
 
 @dataclass
