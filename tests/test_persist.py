@@ -320,3 +320,128 @@ def test_reference_format_import_i8(tmp_path):
     # stored representation imported untouched (no re-quantization)
     stored = np.asarray(ix._table[ix._keymap.slots_of(3)[0]][:d], dtype=np.int8)
     np.testing.assert_array_equal(stored, xi8[3])
+
+
+def test_reference_format_export_roundtrip(tmp_path):
+    """save(format="reference") → re-import through the reference-layout
+    parser: keys, vectors, metric/dtype/ndim survive the round trip."""
+    rng = np.random.default_rng(7)
+    n, d = 150, 24
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    keys = np.arange(1000, 1000 + n, dtype=np.uint64)
+    ix = Index(ndim=d, metric="l2sq", dtype="f32")
+    ix.add(keys, x)
+    ix.remove(np.uint64(1003))
+    p = str(tmp_path / "export.usearch")
+    ix.save(p, format="reference")
+
+    meta = Index.metadata(p)
+    assert meta and meta["format"] == "reference"
+    assert meta["metric"] == "l2sq" and meta["dtype"] == "f32"
+    assert meta["dimensions"] == d and meta["count_present"] == n - 1
+
+    back = Index.restore(p)
+    assert len(back) == n - 1
+    assert 1003 not in back and 1004 in back
+    got = back.get(np.uint64(1010))
+    np.testing.assert_allclose(got, x[10], rtol=1e-5, atol=1e-5)
+
+    # buffer form byte-identical to the file form
+    buf = ix.save(format="reference")
+    assert buf == open(p, "rb").read()
+
+
+def _build_reference_oracle():
+    """Compile the UPSTREAM reference C library (read-only use as a test
+    oracle) once per environment; None when the toolchain/source is absent."""
+    import os
+    import subprocess
+
+    so = "/tmp/libusearch_ref_oracle.so"
+    src = "/root/reference/c/lib.cpp"
+    if os.path.exists(so):
+        return so
+    if not os.path.exists(src):
+        return None
+    try:
+        subprocess.run(
+            ["g++", "-O1", "-shared", "-fPIC", "-std=c++17",
+             "-DUSEARCH_USE_FP16LIB=0", "-DUSEARCH_USE_SIMSIMD=0",
+             "-I/root/reference/include", src, "-o", so],
+            check=True, capture_output=True, timeout=600,
+        )
+    except Exception:
+        return None
+    return so
+
+
+def test_reference_format_export_loads_in_reference(tmp_path):
+    """The exported file loads in the ACTUAL reference implementation:
+    usearch_metadata sniffs it, usearch_load parses it, and
+    usearch_get recovers the stored vectors bit-exactly."""
+    import ctypes
+
+    so = _build_reference_oracle()
+    if so is None:
+        pytest.skip("reference C sources or toolchain unavailable")
+    lib = ctypes.CDLL(so)
+
+    class InitOpts(ctypes.Structure):
+        _fields_ = [
+            ("metric_kind", ctypes.c_int),
+            ("metric", ctypes.c_void_p),
+            ("quantization", ctypes.c_int),
+            ("dimensions", ctypes.c_size_t),
+            ("connectivity", ctypes.c_size_t),
+            ("expansion_add", ctypes.c_size_t),
+            ("expansion_search", ctypes.c_size_t),
+            ("multi", ctypes.c_bool),
+        ]
+
+    lib.usearch_init.restype = ctypes.c_void_p
+    lib.usearch_init.argtypes = [ctypes.POINTER(InitOpts), ctypes.POINTER(ctypes.c_char_p)]
+    lib.usearch_load.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_char_p)]
+    lib.usearch_metadata.argtypes = [ctypes.c_char_p, ctypes.POINTER(InitOpts), ctypes.POINTER(ctypes.c_char_p)]
+    lib.usearch_size.restype = ctypes.c_size_t
+    lib.usearch_size.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p)]
+    lib.usearch_dimensions.restype = ctypes.c_size_t
+    lib.usearch_dimensions.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p)]
+    lib.usearch_contains.restype = ctypes.c_bool
+    lib.usearch_contains.argtypes = [ctypes.c_void_p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_char_p)]
+    lib.usearch_get.restype = ctypes.c_size_t
+    lib.usearch_get.argtypes = [ctypes.c_void_p, ctypes.c_uint64, ctypes.c_size_t,
+                                ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_char_p)]
+    lib.usearch_free.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p)]
+
+    rng = np.random.default_rng(11)
+    n, d = 120, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    keys = np.arange(500, 500 + n, dtype=np.uint64)
+    ix = Index(ndim=d, metric="ip", dtype="f32")
+    ix.add(keys, x)
+    p = str(tmp_path / "to_ref.usearch")
+    ix.save(p, format="reference")
+
+    err = ctypes.c_char_p(None)
+    opts = InitOpts()
+    lib.usearch_metadata(p.encode(), ctypes.byref(opts), ctypes.byref(err))
+    assert err.value is None, err.value
+    assert opts.dimensions == d
+    assert opts.metric_kind == 2  # usearch_metric_ip_k
+    assert opts.quantization == 1  # usearch_scalar_f32_k
+
+    handle = lib.usearch_init(ctypes.byref(opts), ctypes.byref(err))
+    assert err.value is None and handle
+    lib.usearch_load(handle, p.encode(), ctypes.byref(err))
+    assert err.value is None, err.value
+    assert lib.usearch_size(handle, ctypes.byref(err)) == n
+    assert lib.usearch_dimensions(handle, ctypes.byref(err)) == d
+    assert lib.usearch_contains(handle, 500 + 7, ctypes.byref(err))
+    assert not lib.usearch_contains(handle, 499, ctypes.byref(err))
+
+    out = np.zeros(d, dtype=np.float32)
+    got = lib.usearch_get(handle, 500 + 42, 1,
+                          out.ctypes.data_as(ctypes.c_void_p), 1, ctypes.byref(err))
+    assert err.value is None and got == 1
+    np.testing.assert_array_equal(out, x[42])
+    lib.usearch_free(handle, ctypes.byref(err))

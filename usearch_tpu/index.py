@@ -1490,9 +1490,17 @@ class Index:
     # Persistence -------------------------------------------------------
 
     @_reads
-    def save(self, path_or_buffer=None, progress=None):
-        from .persist import save_index, save_index_to_buffer
+    def save(self, path_or_buffer=None, progress=None, format: str = "native"):
+        """Persist the index. ``format="native"`` writes the TPU format;
+        ``format="reference"`` writes a reference-compatible `.usearch`
+        file (vectors + keys + flat graph) the upstream library can
+        load/view — see persist.save_reference_index."""
+        from .persist import save_index, save_index_to_buffer, save_reference_index
 
+        if format == "reference":
+            return save_reference_index(self, path_or_buffer)
+        if format != "native":
+            raise ValueError(f"unknown save format {format!r}")
         if path_or_buffer is None:
             path_or_buffer = self._path
         if path_or_buffer is None:

@@ -364,6 +364,80 @@ def load_reference_index(index, path_or_buffer) -> None:
     _populate(index, pmeta, keys[live], mat[live])
 
 
+_REF_METRIC_CODES = {name: code for code, name in _REF_METRICS.items()}
+_REF_SCALAR_CODES = {name: code for code, name in _REF_SCALARS.items()}
+_REF_KIND_KEY_U64 = 14   # scalar_kind_t::u64_k (index_plugins.hpp:151)
+_REF_KIND_SLOT_U32 = 15  # scalar_kind_t::u32_k (index_plugins.hpp:152)
+
+
+def save_reference_index(index, path_or_buffer=None):
+    """Export `index` as a REFERENCE-format `.usearch` file the reference
+    library can `load`/`view` — the reverse of `load_reference_index`, so
+    migration works in both directions.
+
+    Layout written (reference index_dense.hpp:994-1062 writer):
+    [u32 rows, u32 row_bytes] + rows×row_bytes vector matrix in storage
+    dtype, the 64-byte head, then the graph stream (index.hpp:3277-3317):
+    5×u64 header {size, connectivity, connectivity_base, max_level=0,
+    entry_slot=0}, size×i16 zero levels, and one level-0 tape per node
+    ([u64 key][i16 0][u32 count=0][connectivity_base zero slots]). The
+    engine here has no proximity graph, so the export carries a valid FLAT
+    graph with empty adjacency — the reference parses it (per-node offsets
+    are computed from levels and connectivity alone, index.hpp:3504-3571)
+    and serves the index via its `exact=True` search path or re-links it.
+
+    Returns the serialized bytes when ``path_or_buffer`` is None, else
+    writes the file and returns None."""
+    import struct
+
+    from .enums import ScalarKind
+
+    if index._is_set_index:
+        raise ValueError("set indexes have no reference-format equivalent")
+    metric = index._metric_kind.value
+    dtype = index._dtype.value
+    if metric not in _REF_METRIC_CODES:
+        raise ValueError(f"metric {metric!r} has no reference metric_kind_t code")
+    if dtype not in _REF_SCALAR_CODES:
+        raise ValueError(f"dtype {dtype!r} has no reference scalar_kind_t code")
+
+    rows = _logical_rows_np(index)
+    keys = index._live_keys().astype("<u8")
+    n = len(keys)
+    row_bytes = rows.shape[1] * rows.dtype.itemsize if n else index._logical_row_bytes()
+
+    out = bytearray()
+    out += struct.pack("<II", n, row_bytes)
+    out += np.ascontiguousarray(rows).tobytes()
+
+    head = bytearray(64)
+    head[0:7] = _REF_MAGIC
+    vmaj, vmin, vpat = (int(x) for x in LIBRARY_VERSION.split("+")[0].split("."))
+    struct.pack_into("<HHH", head, 7, vmaj, vmin, vpat)
+    head[13] = _REF_METRIC_CODES[metric]
+    head[14] = _REF_SCALAR_CODES[dtype]
+    head[15] = _REF_KIND_KEY_U64
+    head[16] = _REF_KIND_SLOT_U32
+    struct.pack_into("<QQQ", head, 17, n, 0, index._ndim)
+    head[41] = 1 if index._multi else 0
+    out += head
+
+    conn = max(int(index._connectivity), 1)
+    conn_base = 2 * conn  # the reference's connectivity_base default ratio
+    out += struct.pack("<QQQQQ", n, conn, conn_base, 0, 0)
+    out += np.zeros(n, dtype="<i2").tobytes()  # all nodes at level 0
+    # node tapes: u64 key + i16 level + u32 neighbor count + zeroed slots
+    tape = np.zeros((n, 10 + 4 + 4 * conn_base), dtype=np.uint8)
+    tape[:, 0:8] = keys.view(np.uint8).reshape(n, 8)
+    out += tape.tobytes()
+
+    if path_or_buffer is None:
+        return bytes(out)
+    with open(os.fspath(path_or_buffer), "wb") as f:
+        f.write(out)
+    return None
+
+
 def index_metadata(path_or_buffer) -> dict:
     """Sniff file/buffer metadata without loading vectors — the analog of
     `index_dense_metadata_from_path` (reference: index_dense.hpp:253-369)."""
