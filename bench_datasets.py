@@ -130,7 +130,13 @@ def run_family(name, n, d, metric, dtype, ref):
     row["ivf_build_s"] = round(time.perf_counter() - t0, 1)
     row["ivf_parts"] = parts
     curve = []
-    for es in (16, 64, 256):
+    # es→nprobe scales with avg partition depth (nprobe ≈ es·16/avg_rows):
+    # deep configurations (10M rows, ~10k partitions) need es beyond the
+    # reference's table points to reach probe counts with ≥0.95 recall —
+    # sweep further until recall saturates
+    for es in (16, 64, 256, 1024, 4096):
+        if curve and curve[-1]["recall10"] >= 0.98:
+            break
         ix._expansion_search = es
         mm = ix.search(q, K)  # warm per shape
         t0 = time.perf_counter()

@@ -625,15 +625,16 @@ def test_ivf_fresh_survives_reserve_growth(rng):
 
 
 def test_ivf_refuses_unsupported_metric(rng):
-    """The probe kernels implement the matmul metrics (ip/cos/l2sq) only —
-    optimize() must refuse others instead of silently serving the L2sq
-    epilogue over e.g. packed hamming bytes; exact search still works."""
-    ix = Index(ndim=64, metric="hamming", dtype="b1")
-    bits = np.packbits(rng.random((64, 64)) > 0.5, axis=1)
-    ix.add(np.arange(64, dtype=np.uint64), bits)
+    """optimize() serves ip/cos/l2sq and the packed-bit binary metrics —
+    statistical metrics (pearson/haversine/divergence) must be refused
+    instead of silently scoring through a wrong epilogue; exact search
+    still works for them."""
+    ix = Index(ndim=64, metric="pearson", dtype="f32")
+    pts = rng.random((64, 64)).astype(np.float32)
+    ix.add(np.arange(64, dtype=np.uint64), pts)
     with pytest.raises(ValueError, match="ip/cos/l2sq"):
         ix.optimize(n_partitions=8)
-    m = ix.search(bits[:4], 1)
+    m = ix.search(pts[:4], 1)
     np.testing.assert_array_equal(m.keys[:, 0], np.arange(4))
     # metric change AFTER a build must also drop the probe path
     ix2 = Index(ndim=16, metric="ip", dtype="f32")

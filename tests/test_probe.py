@@ -264,3 +264,56 @@ def test_ring_depth_parity():
     ]
     np.testing.assert_array_equal(np.asarray(outs[0][0]), np.asarray(outs[1][0]))
     np.testing.assert_array_equal(np.asarray(outs[0][1]), np.asarray(outs[1][1]))
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(13)
+
+
+@pytest.mark.parametrize("metric", ["hamming", "tanimoto", "sorensen"])
+@pytest.mark.parametrize("reorder", [True, False])
+def test_binary_ivf_recall(metric, reorder, rng):
+    """IVF over packed-bit tables: the coarse quantizer runs in unpacked
+    bit space, candidates score via bit-dot popcount identities. The
+    reference serves binary metrics through the same HNSW engine
+    (cpp/test.cpp:780 test_tanimoto); here they get the same sub-linear
+    path as the matmul metrics."""
+    n, nbits = 4096, 256
+    # clustered bit corpus: flip 10% of a few template rows
+    templates = rng.integers(0, 2, (16, nbits), dtype=np.uint8)
+    pick = rng.integers(0, 16, n)
+    bits = templates[pick] ^ (rng.random((n, nbits)) < 0.1)
+    packed = np.packbits(bits, axis=1)
+    ix = ut.Index(ndim=nbits, metric=metric, dtype="b1")
+    ix.add(np.arange(n, dtype=np.uint64), packed)
+
+    q = packed[:64]
+    gt = ix.search(q, 10, exact=True)
+    ix.optimize(n_partitions=32, reorder=reorder)
+    ix._expansion_search = 256
+    m = ix.search(q, 10)
+    gk, mk = np.asarray(gt.keys), np.asarray(m.keys)
+    rec = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10 for a, b in zip(gk, mk)
+    ])
+    assert rec >= 0.9, f"{metric} reorder={reorder}: recall {rec:.3f}"
+    # distances come back as final metric values matching the exact scan
+    np.testing.assert_allclose(
+        np.asarray(m.distances)[:, 0], np.asarray(gt.distances)[:, 0], atol=1e-5
+    )
+
+
+def test_binary_ivf_deletions(rng):
+    n, nbits = 2048, 128
+    bits = rng.integers(0, 2, (n, nbits), dtype=np.uint8)
+    packed = np.packbits(bits, axis=1)
+    ix = ut.Index(ndim=nbits, metric="hamming", dtype="b1")
+    ix.add(np.arange(n, dtype=np.uint64), packed)
+    ix.optimize(n_partitions=16)
+    q = packed[:8]
+    top1 = np.asarray(ix.search(q, 1).keys)[:, 0]
+    assert (top1 == np.arange(8)).all()
+    ix.remove(np.arange(8, dtype=np.uint64))
+    m2 = np.asarray(ix.search(q, 5).keys)
+    assert not np.isin(np.arange(8), m2).any()

@@ -1179,14 +1179,24 @@ class Index:
         # identity-keyed validity caches warm across calls.
         valid = self._valid if filter is None else self._filter_mask(filter)
 
+        if self._ivf is not None and not self._ivf_dirty:
+            from .ivf import BINARY_PROBE_METRICS
+
+            ivf_metric_ok = self._metric_kind in (
+                MetricKind.IP, MetricKind.Cos, MetricKind.L2sq
+            ) and self._dtype != ScalarKind.B1 or (
+                self._dtype == ScalarKind.B1
+                and self._metric_kind in BINARY_PROBE_METRICS
+            )
+        else:
+            ivf_metric_ok = False
         use_ivf = (
             not exact
             and not self._is_set_index
             and self._metric_fn is None
-            # probe kernels implement the matmul metrics only; optimize()
-            # refuses others, this guard covers metric changes after build
-            and self._metric_kind in (MetricKind.IP, MetricKind.Cos, MetricKind.L2sq)
-            and self._dtype != ScalarKind.B1
+            # optimize() refuses unsupported combos; this guard covers
+            # metric changes after build
+            and ivf_metric_ok
             and self._ivf is not None
             and not self._ivf_dirty
         )
@@ -1439,15 +1449,27 @@ class Index:
 
         if self._count == 0:
             return
-        if self._metric_kind not in (MetricKind.IP, MetricKind.Cos, MetricKind.L2sq):
+        from .ivf import BINARY_PROBE_METRICS
+
+        binary_ok = (
+            self._dtype == ScalarKind.B1
+            and self._metric_kind in BINARY_PROBE_METRICS
+        )
+        if (
+            self._metric_kind not in (MetricKind.IP, MetricKind.Cos, MetricKind.L2sq)
+            and not binary_ok
+        ):
             raise ValueError(
-                f"IVF probing supports ip/cos/l2sq (got {self._metric_kind.value}): "
-                "the probe kernels' distance epilogue covers the matmul metrics; "
-                "binary/statistical metrics serve through the exact scan"
+                f"IVF probing supports ip/cos/l2sq and packed-bit "
+                f"hamming/tanimoto/sorensen (got {self._metric_kind.value}): "
+                "statistical metrics serve through the exact scan"
             )
-        if self._is_set_index or self._dtype == ScalarKind.B1 or self._metric_fn is not None:
+        if self._is_set_index or self._metric_fn is not None or (
+            self._dtype == ScalarKind.B1 and not binary_ok
+        ):
             raise ValueError(
-                "IVF probing supports dense numeric tables with built-in metrics"
+                "IVF probing supports dense numeric tables and packed-bit "
+                "binary-metric tables with built-in metrics"
             )
         if reorder:
             self._ivf = IVFPartitions.build_inplace(self, n_partitions, spill=spill)

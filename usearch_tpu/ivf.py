@@ -244,6 +244,13 @@ class IVFPartitions:
 
         # device-resident rows: no table round trip through the host
         rows = index._table[jnp.asarray(live)]  # storage dtype: no f32 table copy
+        if index._dtype == ScalarKind.B1:
+            # quantizer space for packed-bit tables: the UNPACKED {0,1}
+            # bits — hamming IS squared L2 there, so a plain L2 k-means
+            # partitions the hamming/tanimoto/sorensen neighborhoods
+            from .ops.packbits import unpack_bits
+
+            rows = unpack_bits(rows)
         km_metric = (
             index._metric_kind
             if index._metric_kind in (MetricKind.Cos, MetricKind.IP, MetricKind.L2sq)
@@ -762,12 +769,13 @@ def _ivf_probe_search(
     n_q = q.shape[0]
     p = part_table.shape[1]
     q_stats = row_stats(q, kind)
-    qf = q.astype(jnp.float32)
+    qf = _query_f32(kind, q)
 
     # empty partitions (all entries invalid/pad) rank last so probe slots
     # are never spent gathering fully-masked blocks
     cdist = _score_centroids(
-        metric, qf, centroids, jnp.sum(part_valid, axis=1, dtype=jnp.int32)
+        _centroid_metric(metric), qf, centroids,
+        jnp.sum(part_valid, axis=1, dtype=jnp.int32),
     )
     _, probes = jax.lax.top_k(-cdist, nprobe)  # [Q, nprobe]
 
@@ -798,26 +806,10 @@ def _ivf_probe_search(
 
         # raw-operand batched matvec: no widened HBM copy (see _dense_probe_core)
         bdims = (((1,), (2,)), ((0,), (0,)))
-        if kind == ScalarKind.I8:
-            d_ = jax.lax.dot_general(qc, rows, bdims, preferred_element_type=jnp.int32)
-        elif qc.dtype == jnp.float32:
-            d_ = jax.lax.dot_general(qc, rows, bdims, precision=jax.lax.Precision.HIGHEST)
-        else:
-            d_ = jax.lax.dot_general(qc, rows, bdims, preferred_element_type=jnp.float32)
-        q_sq, q_sum = qsc[:, 0], qsc[:, 1]
+        d_ = _probe_dot(kind, qc, rows, bdims)
+        q_sq = qsc[:, 0]
         t_sq = rstats[..., 0]
-        d_ = d_.astype(jnp.float32)
-        if metric == MetricKind.IP:
-            dist = 1.0 - d_
-        elif metric == MetricKind.Cos:
-            denom = jnp.sqrt(q_sq)[:, None] * jnp.sqrt(t_sq)
-            safe_d = jnp.where(denom == 0, 1.0, denom)
-            base = 1.0 - d_ / safe_d
-            one_zero = (q_sq[:, None] == 0) ^ (t_sq == 0)
-            both_zero = (q_sq[:, None] == 0) & (t_sq == 0)
-            dist = jnp.where(both_zero, 0.0, jnp.where(one_zero, 1.0, base))
-        else:  # L2sq
-            dist = jnp.maximum(q_sq[:, None] + t_sq - 2.0 * d_, 0.0)
+        dist = _probe_metric_dists(metric, d_, q_sq, t_sq)
         dist = jnp.where(ok, dist, MASKED)
         kk = min(k, dist.shape[1])
         d_out, ids = _staged_topk(dist, cand, kk)
@@ -874,27 +866,14 @@ def _dense_probe_core(
     # gather bytes again as i32 write+read; it dominated probe time at 100M:
     # 16 ms/chunk observed vs ~0.3 ms of useful gather traffic.)
     bdims = (((1,), (2,)), ((0,), (0,)))
-    if kind == ScalarKind.I8:
-        d_ = jax.lax.dot_general(qc, rows, bdims, preferred_element_type=jnp.int32)
-    elif qc.dtype == jnp.float32:
-        d_ = jax.lax.dot_general(qc, rows, bdims, precision=jax.lax.Precision.HIGHEST)
-    else:
-        d_ = jax.lax.dot_general(qc, rows, bdims, preferred_element_type=jnp.float32)
-    q_sq, q_sum = qsc[:, 0], qsc[:, 1]
-    d_ = d_.astype(jnp.float32)
-    if metric == MetricKind.IP:
-        dist = 1.0 - d_
-    elif metric == MetricKind.Cos:
-        t_sq = sblk[bidx][..., 0].reshape(chunk, nprobe * r)
-        denom = jnp.sqrt(q_sq)[:, None] * jnp.sqrt(t_sq)
-        safe_d = jnp.where(denom == 0, 1.0, denom)
-        base = 1.0 - d_ / safe_d
-        one_zero = (q_sq[:, None] == 0) ^ (t_sq == 0)
-        both_zero = (q_sq[:, None] == 0) & (t_sq == 0)
-        dist = jnp.where(both_zero, 0.0, jnp.where(one_zero, 1.0, base))
-    else:  # L2sq
-        t_sq = sblk[bidx][..., 0].reshape(chunk, nprobe * r)
-        dist = jnp.maximum(q_sq[:, None] + t_sq - 2.0 * d_, 0.0)
+    d_ = _probe_dot(kind, qc, rows, bdims)
+    q_sq = qsc[:, 0]
+    t_sq = (
+        sblk[bidx][..., 0].reshape(chunk, nprobe * r)
+        if metric != MetricKind.IP
+        else None
+    )
+    dist = _probe_metric_dists(metric, d_, q_sq, t_sq)
     dist = jnp.where(ok, dist, MASKED)
     kk = min(k, dist.shape[1])
     d_out, ids = _staged_topk(dist, cand, kk)
@@ -904,6 +883,79 @@ def _dense_probe_core(
         d_out = jnp.concatenate([d_out, jnp.full((chunk, extra), MASKED)], axis=1)
         ids = jnp.concatenate([ids, jnp.full((chunk, extra), -1, jnp.int32)], axis=1)
     return d_out, ids
+
+
+#: binary metrics with an IVF probe path: the coarse quantizer runs over the
+#: UNPACKED {0,1} bit space (hamming distance IS squared L2 there), and the
+#: candidate scoring uses bit-dots + popcount identities (reference binary
+#: metric semantics: index_plugins.hpp:1392-1478; HNSW over binary indexes:
+#: cpp/test.cpp:780 test_tanimoto)
+BINARY_PROBE_METRICS = (
+    MetricKind.Hamming, MetricKind.Tanimoto, MetricKind.Sorensen
+)
+
+
+def _query_f32(kind, q):
+    """Query rows in centroid space: unpacked {0,1} bits for b1 storage
+    (matching the quantizer's fit space), plain f32 cast otherwise."""
+    if kind == ScalarKind.B1:
+        from .ops.packbits import unpack_bits
+
+        return unpack_bits(q).astype(jnp.float32)
+    return q.astype(jnp.float32)
+
+
+def _centroid_metric(metric):
+    """Partition-ranking metric: binary metrics rank by L2 over the bit
+    space (hamming == l2sq on {0,1} vectors; tanimoto/sorensen are
+    popcount-normalized variants of the same neighborhood structure)."""
+    return MetricKind.L2sq if metric in BINARY_PROBE_METRICS else metric
+
+
+def _probe_dot(kind, qc, rows, bdims):
+    """Batched candidate dot on RAW storage operands; b1 unpacks both sides
+    to {0,1} int8 bits so the MXU i8 path computes popcount(a AND b)."""
+    if kind == ScalarKind.B1:
+        from .ops.packbits import unpack_bits
+
+        return jax.lax.dot_general(
+            unpack_bits(qc), unpack_bits(rows), bdims,
+            preferred_element_type=jnp.int32,
+        )
+    if kind == ScalarKind.I8:
+        return jax.lax.dot_general(qc, rows, bdims, preferred_element_type=jnp.int32)
+    if qc.dtype == jnp.float32:
+        return jax.lax.dot_general(qc, rows, bdims, precision=jax.lax.Precision.HIGHEST)
+    return jax.lax.dot_general(qc, rows, bdims, preferred_element_type=jnp.float32)
+
+
+def _probe_metric_dists(metric, d_, q_sq, t_sq):
+    """Probe epilogue: raw dots [chunk, X] + per-query stat q_sq [chunk] +
+    per-candidate stat t_sq [chunk, X] → final distances. For b1 storage
+    the stats carry popcounts and the dot is the and-count, so the binary
+    identities apply directly. ``t_sq`` may be None for IP (unused)."""
+    d_ = d_.astype(jnp.float32)
+    if metric == MetricKind.IP:
+        return 1.0 - d_
+    if metric == MetricKind.Cos:
+        denom = jnp.sqrt(q_sq)[:, None] * jnp.sqrt(t_sq)
+        safe_d = jnp.where(denom == 0, 1.0, denom)
+        base = 1.0 - d_ / safe_d
+        one_zero = (q_sq[:, None] == 0) ^ (t_sq == 0)
+        both_zero = (q_sq[:, None] == 0) & (t_sq == 0)
+        return jnp.where(both_zero, 0.0, jnp.where(one_zero, 1.0, base))
+    if metric == MetricKind.L2sq:
+        return jnp.maximum(q_sq[:, None] + t_sq - 2.0 * d_, 0.0)
+    pop_q, pop_t = q_sq[:, None], t_sq
+    if metric == MetricKind.Hamming:
+        return pop_q + pop_t - 2.0 * d_
+    if metric == MetricKind.Tanimoto:
+        union = pop_q + pop_t - d_
+        return jnp.where(union == 0.0, 0.0, 1.0 - d_ / jnp.where(union == 0.0, 1.0, union))
+    if metric == MetricKind.Sorensen:
+        denom = pop_q + pop_t
+        return jnp.where(denom == 0.0, 0.0, 1.0 - 2.0 * d_ / jnp.where(denom == 0.0, 1.0, denom))
+    raise ValueError(f"probe epilogue: unsupported metric {metric}")
 
 
 def _score_centroids(metric, qf, centroids, lens=None):
@@ -1337,14 +1389,14 @@ def _ivf_probe_search_dense(
     cap2 = table.shape[0]
     nb = cap2 // block
     q_stats = row_stats(q, kind)
-    qf = q.astype(jnp.float32)
+    qf = _query_f32(kind, q)
 
-    cdist = _score_centroids(metric, qf, centroids, lens)  # empties rank last
+    cdist = _score_centroids(_centroid_metric(metric), qf, centroids, lens)
     _, probes = jax.lax.top_k(-cdist, nprobe)  # [Q, nprobe]
 
     tblk = table.reshape(nb, block, -1)
     vblk = valid.reshape(nb, block)  # block-gathered with the rows (see core)
-    use_stats = metric in (MetricKind.Cos, MetricKind.L2sq)
+    use_stats = metric != MetricKind.IP
     sblk = stats.reshape(nb, block, 2) if use_stats else None
     # blocks covering a window that starts anywhere inside a block
     nblk = (p_win - 1) // block + 2
