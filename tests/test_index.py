@@ -641,3 +641,32 @@ def test_pipelined_host_add_matches(monkeypatch):
     monkeypatch.setattr(Index, "_PIPELINE_CHUNK", 1 << 30)
     d.add(np.arange(700, dtype=np.uint64), bits)
     np.testing.assert_array_equal(np.asarray(c._table[:700]), np.asarray(d._table[:700]))
+
+
+def test_search_async_pipeline(rng):
+    """search_async overlaps in-flight searches; results match sync search
+    and the read lock releases once every handle is consumed."""
+    n, d = 4096, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    ix = Index(ndim=d, metric="l2sq", dtype="f32")
+    ix.add(np.arange(n, dtype=np.uint64), vecs)
+
+    qs = [vecs[i * 8 : i * 8 + 4] for i in range(6)]
+    sync = [np.asarray(ix.search(q, 5).keys) for q in qs]
+    pend = [ix.search_async(q, 5) for q in qs]  # all in flight at once
+    got = [np.asarray(p.result().keys) for p in pend]
+    for s, g in zip(sync, got):
+        np.testing.assert_array_equal(s, g)
+
+    # handles consumed -> writer can proceed (lock fully released)
+    ix.add(np.asarray([n + 1], dtype=np.uint64), vecs[:1])
+    # single-query form and idempotent result()
+    p = ix.search_async(vecs[7], 3)
+    m1 = p.result()
+    assert int(m1.keys[0]) == 7 and p.result() is m1
+
+    # empty index fast path releases the lock too
+    e = Index(ndim=d, metric="l2sq", dtype="f32")
+    pe = e.search_async(vecs[:2], 3)
+    assert len(np.asarray(pe.result().counts)) == 2
+    e.add(np.arange(4, dtype=np.uint64), vecs[:4])

@@ -105,3 +105,37 @@ def test_binary_rpc_pack_array_round_trip(rng):
         got = unpack_array(pack_array(arr))
         np.testing.assert_array_equal(got, arr)
         assert got.dtype == arr.dtype
+
+
+def test_binary_rpc_pipelined_search():
+    """Pipelined search stream: many requests in flight on one connection,
+    responses in order, interleaved with a mutating barrier op."""
+    import numpy as np
+    from usearch_tpu import Index
+    from usearch_tpu.rpc import BinaryIndexServer, BinaryIndexClient
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((512, 16)).astype(np.float32)
+    ix = Index(ndim=16, metric="l2sq", dtype="f32")
+    ix.add(np.arange(512, dtype=np.uint64), vecs)
+    srv = BinaryIndexServer(ix, port=0).start()
+    try:
+        with BinaryIndexClient(port=srv.port) as cli:
+            batches = [vecs[i : i + 1] for i in range(24)]
+            res = cli.search_pipelined(batches, count=3)
+            assert len(res) == 24
+            for i, bm in enumerate(res):
+                assert int(np.asarray(bm.keys)[0, 0]) == i
+            # barrier op after a pipelined burst still works in order
+            assert cli.contains([5])[0]
+            res2 = cli.search_pipelined([vecs[7:8]], count=1)
+            assert int(np.asarray(res2[0].keys)[0, 0]) == 7
+            # error inside the pipeline surfaces as RuntimeError
+            try:
+                cli.search_pipelined([np.zeros((1, 7), np.float32)], count=1)
+                raised = False
+            except RuntimeError:
+                raised = True
+            assert raised
+    finally:
+        srv.stop()

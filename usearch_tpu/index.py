@@ -185,6 +185,65 @@ class _RWLock:
                 self._cond.notify_all()
 
 
+class PendingSearch:
+    """In-flight search handle from `Index.search_async`.
+
+    Holds the index's read lock (acquired at dispatch) until `result()` is
+    consumed, mirroring the reference's search_result_t holding its thread
+    checkout (index_dense.hpp:550-564). `result()` is idempotent."""
+
+    __slots__ = ("_index", "_d", "_slots", "_n_q", "_single", "_radius",
+                 "_scanned", "_out", "_lock_held")
+
+    def __init__(self, index, d, slots, n_q, single, radius, scanned):
+        self._index = index
+        self._d = d
+        self._slots = slots
+        self._n_q = n_q
+        self._single = single
+        self._radius = radius
+        self._scanned = scanned
+        self._out = None
+        self._lock_held = True
+
+    def result(self):
+        if self._out is not None:
+            return self._out
+        index = self._index
+        try:
+            if self._d is None:  # empty-index fast path
+                if self._single:
+                    self._out = Matches(
+                        keys=np.zeros(0, np.uint64),
+                        distances=np.zeros(0, np.float32),
+                    )
+                else:
+                    self._out = BatchMatches(
+                        keys=np.zeros((self._n_q, 0), np.uint64),
+                        distances=np.zeros((self._n_q, 0), np.float32),
+                        counts=np.zeros(self._n_q, np.uint64),
+                    )
+            else:
+                d, slots = jax.device_get((self._d, self._slots))
+                self._d = self._slots = None
+                self._out = index._finish_search(
+                    d, slots, self._n_q, self._single, self._radius,
+                    self._scanned, None,
+                )
+        finally:
+            if self._lock_held:
+                self._lock_held = False
+                index._rwlock.release_read()
+        return self._out
+
+    def __del__(self):  # pragma: no cover - abandoned handle safety
+        if getattr(self, "_lock_held", False):
+            try:
+                self._index._rwlock.release_read()
+            except Exception:
+                pass
+
+
 def _reads(fn):
     """Shared-access decorator for Index read paths."""
 
@@ -1212,6 +1271,77 @@ class Index:
         d, slots, scanned = self._search_prepared(q_rows, k, valid, use_ivf, approx)
         d, slots = jax.device_get((d, slots))  # ONE host round trip
         return self._finish_search(d, slots, n_q, single, radius, scanned, progress)
+
+    def search_async(
+        self,
+        vectors,
+        count: int = 10,
+        radius: float = math.inf,
+        *,
+        exact: bool = False,
+        filter: Optional[Union[np.ndarray, Callable]] = None,
+    ) -> "PendingSearch":
+        """Dispatch a search WITHOUT waiting for its result.
+
+        Returns a `PendingSearch` whose ``.result()`` yields the same
+        Matches/BatchMatches `search` would. Dispatch is asynchronous on the
+        device queue, so N in-flight searches overlap: the per-dispatch
+        host↔device latency (the dominant cost of small-batch serving — a
+        tunnel/PCIe round trip dwarfs the ~ms of device time at Q≤8) is paid
+        once for the pipeline instead of once per call. The reference gets
+        the same effect from its thread-per-query executor fan-out
+        (python/lib.cpp:261-330); here the pipeline is the device queue
+        itself. The read lock is held until ``result()`` is consumed —
+        the reference's search_result_t holds its thread lock the same way
+        (index_dense.hpp:550-564)."""
+        self._rwlock.acquire_read()
+        try:
+            pend = self._search_dispatch(vectors, count, radius, exact, filter)
+        except BaseException:
+            self._rwlock.release_read()
+            raise
+        return pend
+
+    def _search_dispatch(self, vectors, count, radius, exact, filter):
+        dev_q, dev_kind = self._device_rows(vectors) if self._count else (None, None)
+        if dev_q is None and not isinstance(vectors, np.ndarray):
+            vectors = np.asarray(vectors)
+        single = vectors.ndim == 1
+        if self._count == 0 or (self._table is None and not self._streamed):
+            n_q = 1 if single else vectors.shape[0]
+            return PendingSearch(self, None, None, n_q, single, radius, 0)
+        q_rows = (dev_q, dev_kind) if dev_q is not None else self._prepare_batch(vectors)
+        n_q = vectors.shape[0] if not single else 1
+        k = min(int(count), self._count)
+        if self._streamed:
+            if dev_q is not None:
+                q_rows = self._prepare_batch(np.asarray(dev_q))
+            d, slots = self._streamed_topk(q_rows, k, filter)
+            return PendingSearch(self, d, slots, n_q, single, radius, self._count)
+        valid = self._valid if filter is None else self._filter_mask(filter)
+        if self._ivf is not None and not self._ivf_dirty:
+            from .ivf import BINARY_PROBE_METRICS
+
+            ivf_metric_ok = self._metric_kind in (
+                MetricKind.IP, MetricKind.Cos, MetricKind.L2sq
+            ) and self._dtype != ScalarKind.B1 or (
+                self._dtype == ScalarKind.B1
+                and self._metric_kind in BINARY_PROBE_METRICS
+            )
+        else:
+            ivf_metric_ok = False
+        use_ivf = (
+            not exact
+            and not self._is_set_index
+            and self._metric_fn is None
+            and ivf_metric_ok
+        )
+        approx = (
+            not exact and not use_ivf and not self._is_set_index
+            and self._metric_fn is None and self._count >= 131072
+        )
+        d, slots, scanned = self._search_prepared(q_rows, k, valid, use_ivf, approx)
+        return PendingSearch(self, d, slots, n_q, single, radius, scanned)
 
     def _finish_search(self, d, slots, n_q, single, radius, scanned, progress):
         """Map slot results to keys and wrap as Matches/BatchMatches."""

@@ -94,17 +94,80 @@ def _recv_frame(sock):
     return op, status, sections
 
 
+#: max in-flight pipelined searches per connection before the server drains
+_PIPELINE_DEPTH = 32
+
+
 class _Handler(socketserver.BaseRequestHandler):
-    def handle(self):  # persistent connection: one frame per request
+    def handle(self):
+        """Persistent connection with SEARCH PIPELINING: search frames are
+        dispatched asynchronously (Index.search_async) and keep arriving
+        while the device works — responses drain, in order, whenever the
+        socket goes quiet or the in-flight window fills. A serving stream
+        of small requests therefore pays the per-dispatch host↔device
+        latency once per WINDOW instead of once per request (the tunnel's
+        ~25-30 ms dispatch floor is the entire cost of Q≤8 serving — device
+        time is ~ms). Mutating ops are barriers: all pending searches drain
+        first, so per-connection response order always matches request
+        order."""
+        import select
+        from collections import deque
+
         self.request.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        pending = deque()  # (op, PendingSearch | Exception)
+
+        def drain_one():
+            op, pend = pending.popleft()
+            try:
+                if isinstance(pend, Exception):
+                    raise pend
+                m = pend.result()
+                out = [pack_array(m.keys), pack_array(m.distances),
+                       pack_array(m.counts)]
+                _send_frame(self.request, op, out, status=0)
+            except Exception as exc:
+                msg = f"{type(exc).__name__}: {exc}".encode()
+                _send_frame(self.request, op, [msg], status=1)
+
         while True:
+            if pending:
+                ready, _, _ = select.select([self.request], [], [], 0)
+                if not ready or len(pending) >= _PIPELINE_DEPTH:
+                    try:
+                        drain_one()
+                    except ConnectionError:
+                        return
+                    continue
             try:
                 frame = _recv_frame(self.request)
             except (ConnectionError, ValueError):
                 return
             if frame is None:
+                while pending:  # flush what the client is still owed
+                    try:
+                        drain_one()
+                    except ConnectionError:
+                        return
                 return
             op, _, sections = frame
+            if op == OP_SEARCH:
+                try:
+                    vectors = np.atleast_2d(unpack_array(sections[0]))
+                    k, exact = struct.unpack("<IB", sections[1])
+                    with self.server.op_lock:
+                        pend = self.server.index.search_async(
+                            vectors, int(k), exact=bool(exact)
+                        )
+                except Exception as exc:
+                    pend = exc
+                pending.append((op, pend))
+                continue
+            # non-search ops are barriers: preserve response order
+            while pending:
+                try:
+                    drain_one()
+                except ConnectionError:
+                    return
             try:
                 out = self._dispatch(op, sections)
                 _send_frame(self.request, op, out, status=0)
@@ -135,12 +198,6 @@ class _Handler(socketserver.BaseRequestHandler):
                 vectors = unpack_array(sections[1])
                 added = index.add(keys, vectors)
                 return [pack_array(np.atleast_1d(np.asarray(added, np.uint64)))]
-            if op == OP_SEARCH:
-                vectors = np.atleast_2d(unpack_array(sections[0]))
-                k, exact = struct.unpack("<IB", sections[1])
-                m = index.search(vectors, int(k), exact=bool(exact))
-                return [pack_array(m.keys), pack_array(m.distances),
-                        pack_array(m.counts)]
             if op == OP_GET:
                 keys = unpack_array(sections[0])
                 got = index.get(keys)
@@ -241,6 +298,44 @@ class BinaryIndexClient:
         keys, dists, counts = (unpack_array(s) for s in out)
         bm = BatchMatches(keys=keys, distances=dists, counts=counts.astype(np.uint64))
         return bm[0] if single else bm
+
+    def search_pipelined(self, batches, count: int = 10, exact: bool = False):
+        """Submit MANY search requests back-to-back on this connection and
+        read the responses afterwards — the server dispatches them into the
+        device queue as they arrive (see _Handler.handle), so a stream of
+        small requests amortizes the per-dispatch transport latency across
+        the whole stream. Returns one BatchMatches per input batch, in
+        order."""
+        from .matches import BatchMatches
+
+        batches = [np.atleast_2d(np.asarray(b)) for b in batches]
+        with self._lock:
+            for b in batches:
+                _send_frame(
+                    self.sock, OP_SEARCH,
+                    [pack_array(b), struct.pack("<IB", count, 1 if exact else 0)],
+                )
+            results = []
+            first_err = None
+            for _ in batches:  # drain EVERY response (keep the stream in sync)
+                frame = _recv_frame(self.sock)
+                if frame is None:
+                    raise ConnectionError("server closed the connection")
+                _, status, out = frame
+                if status != 0:
+                    if first_err is None:
+                        first_err = RuntimeError(
+                            out[0].decode() if out else "remote error"
+                        )
+                    results.append(None)
+                    continue
+                keys, dists, counts = (unpack_array(s) for s in out)
+                results.append(BatchMatches(
+                    keys=keys, distances=dists, counts=counts.astype(np.uint64)
+                ))
+        if first_err is not None:
+            raise first_err
+        return results
 
     def get(self, keys):
         keys = np.atleast_1d(np.asarray(keys, np.uint64))
