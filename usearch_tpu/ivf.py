@@ -65,6 +65,13 @@ _BIN_LIVE_FLOOR = 0.5
 #: supported fold-free path.
 _BIN_BW = int(_os.environ.get("USEARCH_TPU_BIN_BW", "32"))
 _BIN_KEEP = int(_os.environ.get("USEARCH_TPU_BIN_KEEP", "4"))
+#: query-axis chunk cap for the Pallas probe kernels: a Q=16384 launch at
+#: 100M scale killed the TPU worker outright (kernel fault, r3) where
+#: Q=8192 serves reliably — instead of crashing, bigger batches split into
+#: sequential kernel launches of this size (window sharing is per launch,
+#: so per-launch QPS matches the capped batch). Raise experimentally via
+#: the env knob when chasing more cross-query sharing.
+_PROBE_QCHUNK = int(_os.environ.get("USEARCH_TPU_PROBE_QCHUNK", "8192"))
 #: in-kernel bin-select primitive: "pack" (i32 packed-key min) or
 #: "fminarg" (f32 min+argmin rounds, the v1 kernel's extract)
 _BIN_SEL = _os.environ.get("USEARCH_TPU_BIN_SEL", "pack")
@@ -670,6 +677,21 @@ class IVFPartitions:
         return d, slots
 
     def _search_dense(self, index, q, valid, k: int, nprobe: int):
+        # over-cap batches split into sequential kernel launches (the
+        # Q=16384 single-launch configuration faulted the TPU worker at
+        # 100M scale); results concatenate exactly — each query's result
+        # depends only on its own probe windows
+        if q.shape[0] > _PROBE_QCHUNK:
+            parts = [
+                self._search_dense(
+                    index, q[off : off + _PROBE_QCHUNK], valid, k, nprobe
+                )
+                for off in range(0, int(q.shape[0]), _PROBE_QCHUNK)
+            ]
+            return (
+                jnp.concatenate([d for d, _ in parts]),
+                jnp.concatenate([s for _, s in parts]),
+            )
         # +128: window starts are aligned DOWN to 128 rows for the
         # DMA, so the padded window must cover p_win + the shift
         w_pad = max(((self.p_win + 127) // 128) * 128 + 128, 256)
