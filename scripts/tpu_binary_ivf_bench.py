@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Binary-metric IVF vs exact scan on the real chip: 1M x 1024-bit corpus.
+
+The round-3 gap: binary indexes (b1 + hamming/tanimoto) served O(N) exact
+scans only, where the reference's HNSW serves every metric approximately
+(reference cpp/test.cpp:780 test_tanimoto). This measures the new probed
+path's speedup at the reference-like shape. One JSON line:
+exact QPS, probed QPS + recall@10 per expansion point.
+
+Run: python scripts/tpu_binary_ivf_bench.py
+Scale down: BB_ROWS=131072 BB_Q=512 python scripts/tpu_binary_ivf_bench.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import usearch_tpu as ut
+
+N = int(os.environ.get("BB_ROWS", str(1_000_000)))
+NBITS = int(os.environ.get("BB_BITS", "1024"))
+Q = int(os.environ.get("BB_Q", "4096"))
+K = 10
+METRIC = os.environ.get("BB_METRIC", "hamming")
+
+
+def log(m):
+    print(f"[{time.strftime('%H:%M:%S')}] {m}", file=sys.stderr, flush=True)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    nb = max(64, int(4 * N ** (1 / 3)))
+    # clustered bit corpus: template rows with 8% flips (binary blobs)
+    templates = rng.integers(0, 2, (nb, NBITS), dtype=np.uint8)
+    pick = rng.integers(0, nb, N)
+    packed = np.empty((N, NBITS // 8), np.uint8)
+    step = 1 << 19
+    for off in range(0, N, step):
+        m = min(step, N - off)
+        bits = templates[pick[off : off + m]] ^ (rng.random((m, NBITS)) < 0.08)
+        packed[off : off + m] = np.packbits(bits, axis=1)
+    qsel = rng.integers(0, N, Q)
+    q = packed[qsel]
+    log(f"corpus ready: {N}x{NBITS}b")
+
+    ix = ut.Index(ndim=NBITS, metric=METRIC, dtype="b1")
+    t0 = time.time()
+    ix.add(np.arange(N, dtype=np.uint64), packed)
+    _ = np.asarray(ix._valid[:1])
+    log(f"ingest {N/(time.time()-t0):,.0f} rows/s")
+
+    # exact baseline (the r3 serving mode for binary)
+    _ = ix.search(packed[rng.integers(0, N, Q)], K, exact=True)  # warm
+    t0 = time.perf_counter()
+    gt = ix.search(q, K, exact=True)
+    exact_dt = time.perf_counter() - t0
+    gk = np.asarray(gt.keys)
+    log(f"exact: {Q/exact_dt:,.0f} QPS")
+
+    t0 = time.time()
+    parts = max(64, min(8192, N // 1024))
+    ix.optimize(n_partitions=parts, reorder=True)
+    build_s = time.time() - t0
+    log(f"ivf built: {parts} parts in {build_s:.0f}s")
+
+    curve = []
+    for es in (64, 256, 1024):
+        ix._expansion_search = es
+        _ = ix.search(packed[rng.integers(0, N, Q)], K)  # warm this shape
+        t0 = time.perf_counter()
+        m = ix.search(q, K)
+        dt = time.perf_counter() - t0
+        mk = np.asarray(m.keys)
+        rec = float(np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / K for a, b in zip(mk, gk)
+        ]))
+        curve.append({"expansion_search": es, "qps": round(Q / dt, 1),
+                      "recall10": round(rec, 4),
+                      "speedup_vs_exact": round(exact_dt / dt, 2)})
+        log(f"ivf es={es}: {Q/dt:,.0f} QPS r@10={rec:.4f}")
+        if rec >= 0.98:
+            break
+
+    print(json.dumps({
+        "metric": f"binary_ivf_{METRIC}_{N}x{NBITS}b",
+        "exact_qps": round(Q / exact_dt, 1),
+        "ivf_build_s": round(build_s, 1),
+        "ivf_parts": parts,
+        "curve": curve,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

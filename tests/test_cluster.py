@@ -629,8 +629,9 @@ def test_ivf_refuses_unsupported_metric(rng):
     statistical metrics (pearson/haversine/divergence) must be refused
     instead of silently scoring through a wrong epilogue; exact search
     still works for them."""
-    ix = Index(ndim=64, metric="pearson", dtype="f32")
+    ix = Index(ndim=64, metric="divergence", dtype="f32")
     pts = rng.random((64, 64)).astype(np.float32)
+    pts /= pts.sum(axis=1, keepdims=True)  # divergence expects distributions
     ix.add(np.arange(64, dtype=np.uint64), pts)
     with pytest.raises(ValueError, match="ip/cos/l2sq"):
         ix.optimize(n_partitions=8)

@@ -317,3 +317,30 @@ def test_binary_ivf_deletions(rng):
     ix.remove(np.arange(8, dtype=np.uint64))
     m2 = np.asarray(ix.search(q, 5).keys)
     assert not np.isin(np.arange(8), m2).any()
+
+
+@pytest.mark.parametrize("reorder", [True, False])
+def test_pearson_ivf_recall(reorder, rng):
+    """Pearson (correlation distance) rides the IVF probe path: the
+    candidate epilogue is the one-pass sample correlation, partitioning by
+    L2 over the raw rows (reference serves pearson through the same HNSW
+    engine as every other metric)."""
+    n, d = 4096, 48
+    base = rng.standard_normal((32, d)).astype(np.float32)
+    vecs = (base[rng.integers(0, 32, n)] + 0.3 * rng.standard_normal((n, d))).astype(np.float32)
+    ix = ut.Index(ndim=d, metric="pearson", dtype="f32")
+    ix.add(np.arange(n, dtype=np.uint64), vecs)
+    q = vecs[:48]
+    gt = ix.search(q, 10, exact=True)
+    ix.optimize(n_partitions=32, reorder=reorder)
+    ix._expansion_search = 256
+    m = ix.search(q, 10)
+    gk, mk = np.asarray(gt.keys), np.asarray(m.keys)
+    rec = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10 for a, b in zip(gk, mk)
+    ])
+    assert rec >= 0.9, f"pearson reorder={reorder}: recall {rec:.3f}"
+    np.testing.assert_allclose(
+        np.asarray(m.distances)[:, 0], np.asarray(gt.distances)[:, 0],
+        rtol=1e-4, atol=1e-5,
+    )

@@ -1185,6 +1185,20 @@ class Index:
     # Search
     # ------------------------------------------------------------------
 
+    def _ivf_serveable(self) -> bool:
+        """A built, clean IVF exists AND the (metric, dtype) combo has a
+        probe path: matmul metrics + pearson on numeric tables, the
+        popcount metrics on packed-bit tables."""
+        if self._ivf is None or self._ivf_dirty:
+            return False
+        from .ivf import BINARY_PROBE_METRICS
+
+        if self._dtype == ScalarKind.B1:
+            return self._metric_kind in BINARY_PROBE_METRICS
+        return self._metric_kind in (
+            MetricKind.IP, MetricKind.Cos, MetricKind.L2sq, MetricKind.Pearson
+        )
+
     @_reads
     def search(
         self,
@@ -1238,26 +1252,13 @@ class Index:
         # identity-keyed validity caches warm across calls.
         valid = self._valid if filter is None else self._filter_mask(filter)
 
-        if self._ivf is not None and not self._ivf_dirty:
-            from .ivf import BINARY_PROBE_METRICS
-
-            ivf_metric_ok = self._metric_kind in (
-                MetricKind.IP, MetricKind.Cos, MetricKind.L2sq
-            ) and self._dtype != ScalarKind.B1 or (
-                self._dtype == ScalarKind.B1
-                and self._metric_kind in BINARY_PROBE_METRICS
-            )
-        else:
-            ivf_metric_ok = False
         use_ivf = (
             not exact
             and not self._is_set_index
             and self._metric_fn is None
             # optimize() refuses unsupported combos; this guard covers
             # metric changes after build
-            and ivf_metric_ok
-            and self._ivf is not None
-            and not self._ivf_dirty
+            and self._ivf_serveable()
         )
         # Approximate per-tile top-k (TPU-binned) for big non-exact scans:
         # mirrors the reference's approximate-by-default recall (~99%).
@@ -1319,22 +1320,11 @@ class Index:
             d, slots = self._streamed_topk(q_rows, k, filter)
             return PendingSearch(self, d, slots, n_q, single, radius, self._count)
         valid = self._valid if filter is None else self._filter_mask(filter)
-        if self._ivf is not None and not self._ivf_dirty:
-            from .ivf import BINARY_PROBE_METRICS
-
-            ivf_metric_ok = self._metric_kind in (
-                MetricKind.IP, MetricKind.Cos, MetricKind.L2sq
-            ) and self._dtype != ScalarKind.B1 or (
-                self._dtype == ScalarKind.B1
-                and self._metric_kind in BINARY_PROBE_METRICS
-            )
-        else:
-            ivf_metric_ok = False
         use_ivf = (
             not exact
             and not self._is_set_index
             and self._metric_fn is None
-            and ivf_metric_ok
+            and self._ivf_serveable()
         )
         approx = (
             not exact and not use_ivf and not self._is_set_index
@@ -1586,13 +1576,16 @@ class Index:
             and self._metric_kind in BINARY_PROBE_METRICS
         )
         if (
-            self._metric_kind not in (MetricKind.IP, MetricKind.Cos, MetricKind.L2sq)
+            self._metric_kind not in (
+                MetricKind.IP, MetricKind.Cos, MetricKind.L2sq, MetricKind.Pearson
+            )
             and not binary_ok
         ):
             raise ValueError(
-                f"IVF probing supports ip/cos/l2sq and packed-bit "
+                f"IVF probing supports ip/cos/l2sq/pearson and packed-bit "
                 f"hamming/tanimoto/sorensen (got {self._metric_kind.value}): "
-                "statistical metrics serve through the exact scan"
+                "haversine/divergence/jaccard/UDF metrics serve through the "
+                "exact scan"
             )
         if self._is_set_index or self._metric_fn is not None or (
             self._dtype == ScalarKind.B1 and not binary_ok

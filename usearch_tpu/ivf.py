@@ -831,7 +831,9 @@ def _ivf_probe_search(
         d_ = _probe_dot(kind, qc, rows, bdims)
         q_sq = qsc[:, 0]
         t_sq = rstats[..., 0]
-        dist = _probe_metric_dists(metric, d_, q_sq, t_sq)
+        dist = _probe_metric_dists(
+            metric, d_, q_sq, t_sq, qsc[:, 1], rstats[..., 1], ndim
+        )
         dist = jnp.where(ok, dist, MASKED)
         kk = min(k, dist.shape[1])
         d_out, ids = _staged_topk(dist, cand, kk)
@@ -849,7 +851,8 @@ def _ivf_probe_search(
 
 
 def _dense_probe_core(
-    metric, kind, qc, qsc, prc, starts, lens, vblk, tblk, sblk, cap2, block, nblk, k
+    metric, kind, qc, qsc, prc, starts, lens, vblk, tblk, sblk, cap2, block,
+    nblk, k, ndim=0,
 ):
     """Score one query chunk against its probed windows in the dense layout.
     Traceable core shared by the single-chip probe and the sharded
@@ -890,12 +893,13 @@ def _dense_probe_core(
     bdims = (((1,), (2,)), ((0,), (0,)))
     d_ = _probe_dot(kind, qc, rows, bdims)
     q_sq = qsc[:, 0]
-    t_sq = (
-        sblk[bidx][..., 0].reshape(chunk, nprobe * r)
-        if metric != MetricKind.IP
-        else None
-    )
-    dist = _probe_metric_dists(metric, d_, q_sq, t_sq)
+    if metric != MetricKind.IP:
+        sg = sblk[bidx]
+        t_sq = sg[..., 0].reshape(chunk, nprobe * r)
+        t_sum = sg[..., 1].reshape(chunk, nprobe * r)
+    else:
+        t_sq = t_sum = None
+    dist = _probe_metric_dists(metric, d_, q_sq, t_sq, qsc[:, 1], t_sum, ndim)
     dist = jnp.where(ok, dist, MASKED)
     kk = min(k, dist.shape[1])
     d_out, ids = _staged_topk(dist, cand, kk)
@@ -930,8 +934,12 @@ def _query_f32(kind, q):
 def _centroid_metric(metric):
     """Partition-ranking metric: binary metrics rank by L2 over the bit
     space (hamming == l2sq on {0,1} vectors; tanimoto/sorensen are
-    popcount-normalized variants of the same neighborhood structure)."""
-    return MetricKind.L2sq if metric in BINARY_PROBE_METRICS else metric
+    popcount-normalized variants of the same neighborhood structure);
+    pearson ranks by L2 too (matching its quantizer fit space — the
+    correlation epilogue applies exactly on the probed candidates)."""
+    if metric in BINARY_PROBE_METRICS or metric == MetricKind.Pearson:
+        return MetricKind.L2sq
+    return metric
 
 
 def _probe_dot(kind, qc, rows, bdims):
@@ -951,14 +959,23 @@ def _probe_dot(kind, qc, rows, bdims):
     return jax.lax.dot_general(qc, rows, bdims, preferred_element_type=jnp.float32)
 
 
-def _probe_metric_dists(metric, d_, q_sq, t_sq):
+def _probe_metric_dists(metric, d_, q_sq, t_sq, q_sum=None, t_sum=None, ndim=0):
     """Probe epilogue: raw dots [chunk, X] + per-query stat q_sq [chunk] +
     per-candidate stat t_sq [chunk, X] → final distances. For b1 storage
     the stats carry popcounts and the dot is the and-count, so the binary
-    identities apply directly. ``t_sq`` may be None for IP (unused)."""
+    identities apply directly. ``t_sq`` may be None for IP (unused);
+    pearson additionally needs the sum stats + the logical ndim."""
     d_ = d_.astype(jnp.float32)
     if metric == MetricKind.IP:
         return 1.0 - d_
+    if metric == MetricKind.Pearson:
+        # one-pass sample correlation (reference metric_pearson_gt,
+        # index_plugins.hpp:1511-1550) over the probed candidates
+        n = jnp.float32(ndim)
+        num = n * d_ - q_sum[:, None] * t_sum
+        den = (n * q_sq - q_sum * q_sum)[:, None] * (n * t_sq - t_sum * t_sum)
+        safe = jnp.where(den <= 0.0, 1.0, den)
+        return jnp.where(den <= 0.0, 0.0, 1.0 - num / jnp.sqrt(safe))
     if metric == MetricKind.Cos:
         denom = jnp.sqrt(q_sq)[:, None] * jnp.sqrt(t_sq)
         safe_d = jnp.where(denom == 0, 1.0, denom)
@@ -1443,7 +1460,7 @@ def _ivf_probe_search_dense(
         qc, qsc, prc = args
         return _dense_probe_core(
             metric, kind, qc, qsc, prc, starts, lens, vblk, tblk, sblk,
-            cap2, block, nblk, k,
+            cap2, block, nblk, k, ndim,
         )
 
     d_all, i_all = jax.lax.map(one_chunk, (q_c, qs_c, pr_c))
