@@ -121,7 +121,15 @@ def run_family(name, n, d, metric, dtype, ref):
     rec1 = float(np.mean(got[:, 0] == gt_keys[::-1][:, 0]))
     row["exact_serving_qps"] = round(len(q) / dt, 1)
     row["exact_serving_recall1"] = round(rec1, 4)
-    log(f"{name}: exact-serving {row['exact_serving_qps']:.0f} QPS r@1={rec1:.4f}")
+    import jax.numpy as jnp
+
+    _ = ix.search(jnp.asarray(q), K)  # warm device-input program
+    qd = jnp.asarray(q[::-1].copy())
+    t0 = time.perf_counter()
+    _ = ix.search(qd, K)
+    row["exact_serving_qps_dev"] = round(len(q) / (time.perf_counter() - t0), 1)
+    log(f"{name}: exact-serving {row['exact_serving_qps']:.0f} QPS "
+        f"(dev {row['exact_serving_qps_dev']:.0f}) r@1={rec1:.4f}")
 
     # IVF probed points
     parts = max(64, min(65536, n // 1024))
@@ -130,6 +138,15 @@ def run_family(name, n, d, metric, dtype, ref):
     row["ivf_build_s"] = round(time.perf_counter() - t0, 1)
     row["ivf_parts"] = parts
     curve = []
+    # device-staged query copies: the `qps_dev` column measures the ENGINE
+    # (queries already in HBM — the serving topology where the embedding
+    # model runs on the same chip); `qps` keeps the end-to-end host-API
+    # number, which in THIS environment is bounded by the ~20 MB/s
+    # host→device tunnel on the query upload (a real TPU VM isn't)
+    import jax.numpy as jnp
+
+    q_dev = jnp.asarray(q[::-1].copy())
+    q_dev_warm = jnp.asarray(q)
     # es→nprobe scales with avg partition depth (nprobe ≈ es·16/avg_rows):
     # deep configurations (10M rows, ~10k partitions) need es beyond the
     # reference's table points to reach probe counts with ≥0.95 recall —
@@ -147,9 +164,16 @@ def run_family(name, n, d, metric, dtype, ref):
         rec = float(np.mean([
             len(set(a.tolist()) & set(b.tolist())) / K for a, b in zip(gk, want)
         ]))
+        _ = ix.search(q_dev_warm, K)  # warm the device-input program
+        t0 = time.perf_counter()
+        _ = ix.search(q_dev, K)
+        dt_dev = time.perf_counter() - t0
         curve.append({"expansion_search": es,
-                      "qps": round(len(q) / dt, 1), "recall10": round(rec, 4)})
-        log(f"{name}: ivf es={es} {len(q)/dt:.0f} QPS r@10={rec:.4f}")
+                      "qps": round(len(q) / dt, 1),
+                      "qps_dev": round(len(q) / dt_dev, 1),
+                      "recall10": round(rec, 4)})
+        log(f"{name}: ivf es={es} {len(q)/dt:.0f} QPS "
+            f"(dev {len(q)/dt_dev:.0f}) r@10={rec:.4f}")
     row["ivf_curve"] = curve
     return row
 
