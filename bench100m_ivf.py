@@ -532,6 +532,24 @@ def main():
                     MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
                     starts_dev, lens_dev, k_fetch, nprobe, w_pad,
                 )[1]
+
+        if impl != "xla":
+            # mirror ivf.py's _search_dense Q-cap: a single Q=16384 kernel
+            # launch faulted the TPU worker in r3 — split big batches into
+            # sequential launches (raise USEARCH_TPU_PROBE_QCHUNK to probe
+            # bigger single launches experimentally)
+            from usearch_tpu.ivf import _PROBE_QCHUNK
+
+            inner = ivf
+
+            def ivf(q):
+                n = int(q.shape[0])
+                if n <= _PROBE_QCHUNK:
+                    return inner(q)
+                return jnp.concatenate([
+                    inner(q[off : off + _PROBE_QCHUNK])
+                    for off in range(0, n, _PROBE_QCHUNK)
+                ])
         return ivf
 
     results = []
