@@ -61,17 +61,16 @@ class Indexes:
         best_k = np.zeros((n_q, count), dtype=np.uint64)
         best_valid = np.zeros((n_q, count), dtype=bool)
 
-        # fan out across shards on threads (dispatches overlap), merge after —
-        # the reference's executor fan-out over `Indexes` (python/lib.cpp:330-520)
+        # fan out across shards via async dispatch (all shards' programs sit
+        # in the device queue before the first drain), merge after — the
+        # role of the reference's executor fan-out over `Indexes`
+        # (python/lib.cpp:330-520), without needing threads
         live_shards = [s for s in self._shards if len(s)]
         if threads != 1 and len(live_shards) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            workers = min(len(live_shards), threads or 8)
-            with ThreadPoolExecutor(max_workers=workers) as pool:
-                results = list(
-                    pool.map(lambda s: s.search(queries, count, exact=exact), live_shards)
-                )
+            pend = [
+                s.search_async(queries, count, exact=exact) for s in live_shards
+            ]
+            results = [p.result() for p in pend]
         else:
             results = [s.search(queries, count, exact=exact) for s in live_shards]
 
