@@ -943,15 +943,13 @@ def _centroid_metric(metric):
 
 
 def _probe_dot(kind, qc, rows, bdims):
-    """Batched candidate dot on RAW storage operands; b1 unpacks both sides
-    to {0,1} int8 bits so the MXU i8 path computes popcount(a AND b)."""
+    """Batched candidate dot on RAW storage operands; b1 computes
+    popcount(a AND b) bit-plane-wise on the PACKED bytes (bit_dot) so the
+    8x-unpacked candidate tensor never materializes in HBM."""
     if kind == ScalarKind.B1:
-        from .ops.packbits import unpack_bits
+        from .ops.packbits import bit_dot
 
-        return jax.lax.dot_general(
-            unpack_bits(qc), unpack_bits(rows), bdims,
-            preferred_element_type=jnp.int32,
-        )
+        return bit_dot(qc, rows, bdims)
     if kind == ScalarKind.I8:
         return jax.lax.dot_general(qc, rows, bdims, preferred_element_type=jnp.int32)
     if qc.dtype == jnp.float32:

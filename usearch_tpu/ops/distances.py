@@ -222,7 +222,10 @@ def tile_dists(
     if metric == MetricKind.Jaccard:
         return jaccard_set_dists(q, tile)
     if kind == ScalarKind.B1:
-        dots = _dot(unpack_bits(q), unpack_bits(tile)).astype(jnp.float32)
+        from .packbits import bit_dot
+
+        # bit-plane dot on packed bytes: no 8x-unpacked operand in HBM
+        dots = bit_dot(q, tile).astype(jnp.float32)
     else:
         dots = _dot(q, tile)
     return dot_metric_dists(metric, dots, q_stats, tile_stats, ndim)

@@ -8,6 +8,7 @@ Bit order is MSB-first within each byte — bit ``i`` of a vector lives at
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,3 +41,27 @@ def unpack_bits(packed: jnp.ndarray) -> jnp.ndarray:
 def popcount_bytes(packed: jnp.ndarray) -> jnp.ndarray:
     """Per-row popcount of packed uint8 rows [..., B] → int32 [...]."""
     return jnp.sum(unpack_bits(packed).astype(jnp.int32), axis=-1)
+
+
+def bit_dot(q: jnp.ndarray, t: jnp.ndarray, bdims=None) -> jnp.ndarray:
+    """popcount(a AND b) contraction of PACKED uint8 rows without ever
+    materializing the 8x-unpacked operands in HBM.
+
+    ``unpack_bits(q) @ unpack_bits(t).T`` materializes both unpacked
+    tensors (the reshape to [..., B*8] defeats operand fusion) — on a
+    gathered candidate tensor that is 8x the gather's HBM traffic written
+    AND read back, the same materialization class as the pre-cast i8
+    einsum this engine already banned (see _dense_probe_core). Instead the
+    bit-dot decomposes bit-plane-wise: feature j*8+s pairs bit s of byte j,
+    so dot = Σ_s  ((q>>s)&1) · ((t>>s)&1) over BYTES — eight [.., B] i8
+    matmuls whose shift/mask producers XLA fuses into the MXU operand
+    reads. Same flops, no 8x intermediate."""
+    if bdims is None:
+        bdims = (((1,), (1,)), ((), ()))
+    tot = None
+    for s in range(8):
+        qs_ = ((q >> s) & jnp.uint8(1)).astype(jnp.int8)
+        ts_ = ((t >> s) & jnp.uint8(1)).astype(jnp.int8)
+        d = jax.lax.dot_general(qs_, ts_, bdims, preferred_element_type=jnp.int32)
+        tot = d if tot is None else tot + d
+    return tot
