@@ -344,3 +344,51 @@ def test_pearson_ivf_recall(reorder, rng):
         np.asarray(m.distances)[:, 0], np.asarray(gt.distances)[:, 0],
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_grouped_kernel_hamming_b1_interpret(rng):
+    """b1/hamming through the grouped Pallas kernel (interpret mode):
+    the in-kernel bit-plane dot + popcount rank-form must reproduce the
+    XLA probe's distances exactly."""
+    import jax.numpy as jnp
+
+    C, clen, D_BYTES, Q, nprobe, k = 12, 128, 16, 16, 4, 5
+    cap2 = C * clen + 256
+    n = C * clen
+    table = np.zeros((cap2, D_BYTES), np.uint8)
+    table[:n] = rng.integers(0, 256, (n, D_BYTES), dtype=np.uint8)
+    valid = np.zeros(cap2, bool)
+    valid[:n] = True
+    valid[7] = False  # a deleted row
+    bits = np.unpackbits(table[:n], axis=1)
+    cents = np.stack([
+        bits[i * clen : (i + 1) * clen].mean(0) for i in range(C)
+    ]).astype(np.float32)
+    stats = np.zeros((cap2, 2), np.float32)
+    stats[:, 0] = np.unpackbits(table, axis=1).sum(1)
+    starts = np.arange(C, dtype=np.int32) * clen
+    lens = np.full(C, clen, np.int32)
+    q = table[rng.integers(0, n, Q)]
+    w_pad = ((clen + 127) // 128 + 1) * 128
+
+    args = (
+        MetricKind.Hamming, ScalarKind.B1, jnp.asarray(q), jnp.asarray(valid),
+        jnp.asarray(cents), jnp.asarray(table), jnp.asarray(stats),
+        jnp.asarray(starts), jnp.asarray(lens),
+    )
+    dg, ig = iv._ivf_probe_search_dense_grouped(*args, k, nprobe, w_pad)
+    dx, ixx = iv._ivf_probe_search_dense(*args, D_BYTES * 8, k, nprobe, clen, 128)
+    dg, ig, dx, ixx = (np.asarray(x) for x in (dg, ig, dx, ixx))
+    # same probe selection (same centroid scoring) -> identical top-k sets
+    np.testing.assert_allclose(np.sort(dg, axis=1), np.sort(dx, axis=1), atol=1e-5)
+    assert not np.isin(7, ig)  # deleted row masked
+    # distances are true hamming values
+    qb = np.unpackbits(q, axis=1).astype(np.int32)
+    tb = np.unpackbits(table, axis=1).astype(np.int32)
+    for qi in range(Q):
+        for j in range(k):
+            rid = int(ig[qi, j])
+            if rid < 0:
+                continue
+            ham = int(np.sum(qb[qi] ^ tb[rid]))
+            assert abs(ham - dg[qi, j]) < 1e-3, (qi, j, ham, dg[qi, j])

@@ -566,12 +566,22 @@ class IVFPartitions:
 
         # the grouped kernels pad their (query, probe) pair list to a lane
         # multiple internally, so ANY query count rides them (single-query
-        # serving included); only the per-query pair kernel needs Q % 8 == 0
+        # serving included); only the per-query pair kernel needs Q % 8 == 0.
+        # b1/hamming rides the kernels too: the in-kernel bit-plane dot
+        # (pallas_probe._win_dots) makes hamming exactly the L2sq rank form
+        # over popcount stats; tanimoto/sorensen (non-affine in the
+        # per-lane constants) stay on the XLA probe.
+        kernel_metric_ok = pallas_scan.supports(
+            index._metric_kind, index._dtype
+        ) or (
+            index._metric_kind == MetricKind.Hamming
+            and index._dtype == ScalarKind.B1
+        )
         return (
             _use_pallas()
             and k <= 128
             and (_PROBE_MODE != "pair" or q.shape[0] % 8 == 0)
-            and pallas_scan.supports(index._metric_kind, index._dtype)
+            and kernel_metric_ok
         )
 
     def _live_frac(self, valid) -> float:
@@ -1080,8 +1090,8 @@ def _ivf_probe_search_dense_nofold(
 
     n_q, d_w = q.shape
     cap2 = table.shape[0]
-    qf = q.astype(jnp.float32)
-    cdist = _score_centroids(metric, qf, centroids, lens)
+    qf = _query_f32(kind, q)
+    cdist = _score_centroids(_centroid_metric(metric), qf, centroids, lens)
     _, probes = jax.lax.top_k(-cdist, nprobe)              # [Q, nprobe]
 
     q_g, qid_s, widx, meta, order, p0, p_total = _binned_pairs(
@@ -1156,8 +1166,8 @@ def _ivf_probe_search_dense_binned(
 
     n_q, d_w = q.shape
     cap2 = table.shape[0]
-    qf = q.astype(jnp.float32)
-    cdist = _score_centroids(metric, qf, centroids, lens)
+    qf = _query_f32(kind, q)
+    cdist = _score_centroids(_centroid_metric(metric), qf, centroids, lens)
     _, probes = jax.lax.top_k(-cdist, nprobe)              # [Q, nprobe]
 
     q_g, qid_s, widx, meta, order, p0, p_total = _binned_pairs(
@@ -1264,8 +1274,8 @@ def _ivf_probe_search_dense_grouped(
     n_q, d_w = q.shape
     cap2 = table.shape[0]
     c = centroids.shape[0]
-    qf = q.astype(jnp.float32)
-    cdist = _score_centroids(metric, qf, centroids, lens)
+    qf = _query_f32(kind, q)
+    cdist = _score_centroids(_centroid_metric(metric), qf, centroids, lens)
     _, probes = jax.lax.top_k(-cdist, nprobe)              # [Q, nprobe]
 
     p0 = n_q * nprobe
@@ -1355,8 +1365,8 @@ def _ivf_probe_search_dense_pallas(
     from .ops.pallas_probe import pallas_ivf_probe
 
     cap2 = table.shape[0]
-    qf = q.astype(jnp.float32)
-    cdist = _score_centroids(metric, qf, centroids, lens)  # empties rank last
+    qf = _query_f32(kind, q)
+    cdist = _score_centroids(_centroid_metric(metric), qf, centroids, lens)  # empties rank last
     _, probes = jax.lax.top_k(-cdist, nprobe)              # [Q, nprobe]
     st = starts[probes]
     ln = lens[probes]

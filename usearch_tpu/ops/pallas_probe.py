@@ -85,12 +85,14 @@ def _window_dists(metric: MetricKind, dots, q_sq, t_aux_w):
         d = -(dots * rsqrt_t)
         both_zero = (t_sq == 0.0) & (q_sq[None, :] == 0.0)
         d = jnp.where(both_zero, -1.0, d)
-    elif metric == MetricKind.L2sq:
+    elif metric in (MetricKind.L2sq, MetricKind.Hamming):
         # rank form: |t|² - 2·dot; the + |q|² shift and ≥0 clamp move to
-        # the epilogue.
+        # the epilogue. Hamming over packed bits is the SAME expression —
+        # pop(t) - 2·and_count, epilogue adds pop(q) (the stats rows carry
+        # popcounts for b1 tables and the dot is the bit-plane and-count).
         d = t_sq - 2.0 * dots
     else:
-        raise ValueError(f"probe kernel supports ip/cos/l2sq, got {metric}")
+        raise ValueError(f"probe kernel supports ip/cos/l2sq/hamming, got {metric}")
     return d + penalty
 
 
@@ -103,11 +105,35 @@ def _rank_epilogue(metric: MetricKind, acc, q_sq):
         return acc
     qs = q_sq[:, None]
     keep = acc >= MASKED / 2
-    if metric == MetricKind.L2sq:
+    if metric in (MetricKind.L2sq, MetricKind.Hamming):
         return jnp.where(keep, acc, jnp.maximum(acc + qs, 0.0))
     # cos
     scale = jnp.where(qs == 0.0, 1.0, 1.0 / jnp.sqrt(qs))
     return jnp.where(keep, acc, 1.0 + acc * scale)
+
+
+def _win_dots(w, qv, acc_t):
+    """One window's candidate dots [w_pad, g] on the MXU.
+
+    uint8 operands are PACKED bit rows: the dot decomposes bit-plane-wise
+    (feature j*8+s pairs bit s of byte j), eight i8 matmuls over the raw
+    bytes whose shift/mask run on the VPU in VMEM — the unpacked window
+    never exists (packbits.bit_dot, in-kernel form)."""
+    dn = (((1,), (1,)), ((), ()))
+    if qv.dtype == jnp.uint8:
+        dots = None
+        for s in range(8):
+            w_s = ((w >> s) & jnp.uint8(1)).astype(jnp.int8)
+            q_s = ((qv >> s) & jnp.uint8(1)).astype(jnp.int8)
+            d0 = jax.lax.dot_general(
+                w_s, q_s, dimension_numbers=dn,
+                preferred_element_type=jnp.int32,
+            )
+            dots = d0 if dots is None else dots + d0
+        return dots
+    return jax.lax.dot_general(
+        w, qv, dimension_numbers=dn, preferred_element_type=acc_t
+    )
 
 
 def _make_probe_kernel(
@@ -132,7 +158,11 @@ def _make_probe_kernel(
         sems,        # [2, 2] DMA semaphores
     ):
         n_win = q_sub * nprobe
-        acc_t = jnp.int32 if q_ref.dtype == jnp.int8 else jnp.float32
+        acc_t = (
+            jnp.int32
+            if q_ref.dtype in (jnp.int8, jnp.uint8)
+            else jnp.float32
+        )
 
         def win_dma(slot, widx):
             # starts are pre-aligned to 128 rows (ivf.py); the hint lets
@@ -172,12 +202,7 @@ def _make_probe_kernel(
             off = off_ref[qi, pj]
             ln = len_ref[qi, pj]
 
-            dots = jax.lax.dot_general(
-                wbuf[slot],
-                q_ref[:],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=acc_t,
-            )  # [w_pad, q_sub]
+            dots = _win_dots(wbuf[slot], q_ref[:], acc_t)  # [w_pad, q_sub]
             d = _window_dists(metric, dots, q_sq, abuf[slot])
 
             # mask: rows inside [off, off+len) AND the owning query's lane
@@ -259,7 +284,11 @@ def _make_grouped_kernel(
         sems,        # [2, 2] DMA semaphores
     ):
         n_win = meta_ref[0, 3, 0]
-        acc_t = jnp.int32 if q_ref.dtype == jnp.int8 else jnp.float32
+        acc_t = (
+            jnp.int32
+            if q_ref.dtype in (jnp.int8, jnp.uint8)
+            else jnp.float32
+        )
 
         def win_dma(slot, w):
             s = pl.multiple_of(meta_ref[0, 0, w], 128)
@@ -298,12 +327,7 @@ def _make_grouped_kernel(
             off = meta_ref[0, 1, w]
             ln = meta_ref[0, 2, w]
 
-            dots = jax.lax.dot_general(
-                wbuf[slot],
-                q_ref[:],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=acc_t,
-            )  # [w_pad, g] — ONE matmul for every pair probing this window
+            dots = _win_dots(wbuf[slot], q_ref[:], acc_t)  # [w_pad, g] — ONE matmul for every pair probing this window
             d = _window_dists(metric, dots, q_sq, abuf[slot])
 
             r = jax.lax.broadcasted_iota(jnp.int32, (w_pad, g), 0)
@@ -388,7 +412,11 @@ def _make_grouped_nofold_kernel(
         sems,        # [n_slots, 2] DMA semaphores
     ):
         n_win = meta_ref[0, 3, 0]
-        acc_t = jnp.int32 if q_ref.dtype == jnp.int8 else jnp.float32
+        acc_t = (
+            jnp.int32
+            if q_ref.dtype in (jnp.int8, jnp.uint8)
+            else jnp.float32
+        )
 
         def win_dma(slot, w):
             s = pl.multiple_of(meta_ref[0, 0, w], 128)
@@ -430,12 +458,7 @@ def _make_grouped_nofold_kernel(
             off = meta_ref[0, 1, w]
             ln = meta_ref[0, 2, w]
 
-            dots = jax.lax.dot_general(
-                wbuf[slot],
-                q_ref[:],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=acc_t,
-            )  # [w_pad, g] — ONE matmul for every pair probing this window
+            dots = _win_dots(wbuf[slot], q_ref[:], acc_t)  # [w_pad, g] — ONE matmul for every pair probing this window
             d = _window_dists(metric, dots, q_sq, abuf[slot])
 
             r = jax.lax.broadcasted_iota(jnp.int32, (w_pad, g), 0)
