@@ -94,47 +94,83 @@ def _recv_frame(sock):
     return op, status, sections
 
 
-#: max in-flight pipelined searches per connection before the server drains
-_PIPELINE_DEPTH = 32
+#: max buffered search requests per connection before the server coalesces
+_PIPELINE_DEPTH = 64
 
 
 class _Handler(socketserver.BaseRequestHandler):
     def handle(self):
-        """Persistent connection with SEARCH PIPELINING: search frames are
-        dispatched asynchronously (Index.search_async) and keep arriving
-        while the device works — responses drain, in order, whenever the
-        socket goes quiet or the in-flight window fills. A serving stream
-        of small requests therefore pays the per-dispatch host↔device
-        latency once per WINDOW instead of once per request (the tunnel's
-        ~25-30 ms dispatch floor is the entire cost of Q≤8 serving — device
-        time is ~ms). Mutating ops are barriers: all pending searches drain
-        first, so per-connection response order always matches request
-        order."""
+        """Persistent connection with SEARCH MICRO-BATCHING: search frames
+        queue while the socket has data, and consecutive requests with the
+        same (k, exact, width) COALESCE into one `Index.search` batch — ONE
+        device dispatch for the whole run, split back per request for the
+        responses. This is the move that beats the per-dispatch transport
+        floor: measured on the tunneled chip, each dispatch costs ~25-30 ms
+        no matter how it is overlapped (async dispatch enqueue itself
+        round-trips), so a stream of Q=1 requests is hard-capped at ~38 QPS
+        per-dispatch — but 64 coalesced queries in one dispatch serve in
+        the same ~30 ms. Responses always go out in request order; mutating
+        ops are barriers (all buffered searches flush first)."""
         import select
         from collections import deque
 
         self.request.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-        pending = deque()  # (op, PendingSearch | Exception)
+        buf = deque()   # parsed, unserved: ("q", q2d, k, exact) | ("err", exc)
 
-        def drain_one():
-            op, pend = pending.popleft()
-            try:
-                if isinstance(pend, Exception):
-                    raise pend
-                m = pend.result()
-                out = [pack_array(m.keys), pack_array(m.distances),
-                       pack_array(m.counts)]
-                _send_frame(self.request, op, out, status=0)
-            except Exception as exc:
-                msg = f"{type(exc).__name__}: {exc}".encode()
-                _send_frame(self.request, op, [msg], status=1)
+        def serve_buffered():
+            """Coalesce + serve + respond for everything in `buf`."""
+            while buf:
+                kind = buf[0][0]
+                if kind == "err":
+                    _, exc = buf.popleft()
+                    msg = f"{type(exc).__name__}: {exc}".encode()
+                    _send_frame(self.request, OP_SEARCH, [msg], status=1)
+                    continue
+                run = [buf.popleft()]
+                while (
+                    buf
+                    and buf[0][0] == "q"
+                    and buf[0][2] == run[0][2]          # same k
+                    and buf[0][3] == run[0][3]          # same exact flag
+                    and buf[0][1].shape[1] == run[0][1].shape[1]
+                ):
+                    run.append(buf.popleft())
+                qcat = (
+                    run[0][1]
+                    if len(run) == 1
+                    else np.concatenate([r[1] for r in run])
+                )
+                k, exact = int(run[0][2]), bool(run[0][3])
+                try:
+                    with self.server.op_lock:
+                        m = self.server.index.search(qcat, k, exact=exact)
+                    keys = np.asarray(m.keys)
+                    dists = np.asarray(m.distances)
+                    counts = np.asarray(m.counts)
+                    off = 0
+                    for r in run:
+                        n = r[1].shape[0]
+                        sl = slice(off, off + n)
+                        _send_frame(
+                            self.request, OP_SEARCH,
+                            [pack_array(keys[sl]), pack_array(dists[sl]),
+                             pack_array(counts[sl])],
+                            status=0,
+                        )
+                        off += n
+                except ConnectionError:
+                    raise
+                except Exception as exc:
+                    msg = f"{type(exc).__name__}: {exc}".encode()
+                    for _r in run:
+                        _send_frame(self.request, OP_SEARCH, [msg], status=1)
 
         while True:
-            if pending:
+            if buf:
                 ready, _, _ = select.select([self.request], [], [], 0)
-                if not ready or len(pending) >= _PIPELINE_DEPTH:
+                if not ready or len(buf) >= _PIPELINE_DEPTH:
                     try:
-                        drain_one()
+                        serve_buffered()
                     except ConnectionError:
                         return
                     continue
@@ -143,31 +179,25 @@ class _Handler(socketserver.BaseRequestHandler):
             except (ConnectionError, ValueError):
                 return
             if frame is None:
-                while pending:  # flush what the client is still owed
-                    try:
-                        drain_one()
-                    except ConnectionError:
-                        return
+                try:
+                    serve_buffered()  # flush what the client is still owed
+                except ConnectionError:
+                    pass
                 return
             op, _, sections = frame
             if op == OP_SEARCH:
                 try:
                     vectors = np.atleast_2d(unpack_array(sections[0]))
                     k, exact = struct.unpack("<IB", sections[1])
-                    with self.server.op_lock:
-                        pend = self.server.index.search_async(
-                            vectors, int(k), exact=bool(exact)
-                        )
+                    buf.append(("q", vectors, k, exact))
                 except Exception as exc:
-                    pend = exc
-                pending.append((op, pend))
+                    buf.append(("err", exc))
                 continue
             # non-search ops are barriers: preserve response order
-            while pending:
-                try:
-                    drain_one()
-                except ConnectionError:
-                    return
+            try:
+                serve_buffered()
+            except ConnectionError:
+                return
             try:
                 out = self._dispatch(op, sections)
                 _send_frame(self.request, op, out, status=0)
