@@ -1286,14 +1286,16 @@ class Index:
 
         Returns a `PendingSearch` whose ``.result()`` yields the same
         Matches/BatchMatches `search` would. Dispatch is asynchronous on the
-        device queue, so N in-flight searches overlap: the per-dispatch
-        host↔device latency (the dominant cost of small-batch serving — a
-        tunnel/PCIe round trip dwarfs the ~ms of device time at Q≤8) is paid
-        once for the pipeline instead of once per call. The reference gets
-        the same effect from its thread-per-query executor fan-out
-        (python/lib.cpp:261-330); here the pipeline is the device queue
-        itself. The read lock is held until ``result()`` is consumed —
-        the reference's search_result_t holds its thread lock the same way
+        device queue, so N in-flight searches overlap device execution. The
+        reference gets the same effect from its thread-per-query executor
+        fan-out (python/lib.cpp:261-330); here the pipeline is the device
+        queue itself. NOTE: on transports with a per-dispatch round-trip
+        floor (this image's tunnel measures ~25-30 ms per ENQUEUE, so
+        overlapping buys nothing there), the winning serving move is
+        COALESCING many small requests into one dispatch — the binary RPC
+        server does exactly that (rpc._Handler micro-batching). The read
+        lock is held until ``result()`` is consumed — the reference's
+        search_result_t holds its thread lock the same way
         (index_dense.hpp:550-564)."""
         self._rwlock.acquire_read()
         try:
