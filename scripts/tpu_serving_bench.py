@@ -111,7 +111,11 @@ def main():
     srv = BinaryIndexServer(ix, port=0).start()
     try:
         with BinaryIndexClient(port=srv.port) as cli:
-            _ = cli.search_pipelined(q1_reqs[:4], K)  # warm the path
+            # warm every coalesced-batch bucket the server will hit (the
+            # micro-batcher concatenates up to _PIPELINE_DEPTH Q=1 frames;
+            # query padding buckets are powers of two)
+            for depth in (1, 2, 4, 8, 16, 32, 64, 128):
+                _ = cli.search_pipelined(q1_reqs[:depth], K)
             t0 = time.perf_counter()
             res = cli.search_pipelined(q1_reqs, K)
             dt = time.perf_counter() - t0
