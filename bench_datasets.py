@@ -49,6 +49,9 @@ FAMILIES = [
     # name, N, ndim, metric, dtype, reference row
     ("wiki-1m-f32-ip", 1_000_000, 256, "ip", "f32", "BENCHMARKS.md:46 (171,856 QPS @ 0.991 r@1)"),
     ("wiki-1m-i8-ip", 1_000_000, 256, "ip", "i8", "BENCHMARKS.md:49 (274,653 QPS @ 0.989 r@1)"),
+    # bf16 storage for f32 inputs: the MXU-native analog of the reference's
+    # f16 quantization row
+    ("wiki-1m-bf16-ip", 1_000_000, 256, "ip", "bf16", "BENCHMARKS.md:47 (153,788 QPS @ 0.984 r@1, f16)"),
     ("deep-10m-f32-l2", 10_000_000, 96, "l2sq", "i8", "README.md:88 (build 0.2-0.3h at 100M)"),
     ("t2i-1m-f32-cos", 1_000_000, 200, "cos", "f32", "BENCHMARKS.md datasets (T2I)"),
     ("spacev-1m-i8-l2", 1_000_000, 100, "l2sq", "i8", "BENCHMARKS.md datasets (SpaceV)"),

@@ -121,10 +121,15 @@ def _win_dots(w, qv, acc_t):
     never exists (packbits.bit_dot, in-kernel form)."""
     dn = (((1,), (1,)), ((), ()))
     if qv.dtype == jnp.uint8:
+        # Mosaic has no 8-bit vector shifts (arith.shrui on vector<i8>
+        # fails to legalize) — widen to i32 for the shift/mask, cast back
+        # to i8 for the MXU operand
+        w32 = w.astype(jnp.int32)
+        q32 = qv.astype(jnp.int32)
         dots = None
         for s in range(8):
-            w_s = ((w >> s) & jnp.uint8(1)).astype(jnp.int8)
-            q_s = ((qv >> s) & jnp.uint8(1)).astype(jnp.int8)
+            w_s = ((w32 >> s) & 1).astype(jnp.int8)
+            q_s = ((q32 >> s) & 1).astype(jnp.int8)
             d0 = jax.lax.dot_general(
                 w_s, q_s, dimension_numbers=dn,
                 preferred_element_type=jnp.int32,
