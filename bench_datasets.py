@@ -185,11 +185,19 @@ def main():
     t_start = time.perf_counter()
     only = [s for s in os.environ.get("BD_ONLY", "").split(",") if s]
     rows = []
+    kept_better = []
     if only and os.path.exists("BENCH_DATASETS.json"):
-        # partial re-run: keep other families' existing full-scale rows
+        # partial re-run: keep other families' existing rows, and NEVER let
+        # a smaller-scale rerun silently replace a fuller-scale row (a CPU
+        # smoke at scale 0.02 once clobbered the full-scale artifact)
         with open("BENCH_DATASETS.json") as f:
-            rows = [r for r in json.load(f)["rows"]
-                    if not any(s in r.get("family", "") for s in only)]
+            for r in json.load(f)["rows"]:
+                if not any(s in r.get("family", "") for s in only):
+                    rows.append(r)
+                elif r.get("scale", 0) > SCALE:
+                    log(f"keeping existing {r['family']} row "
+                        f"(scale {r.get('scale')} > this run's {SCALE})")
+                    kept_better.append(r)
     for fam in FAMILIES:
         if only and not any(s in fam[0] for s in only):
             continue
@@ -203,7 +211,7 @@ def main():
             rows.append({"family": fam[0], "error": msg[:200]})
         # incremental write: a wall-clock kill still leaves the finished rows
         with open("BENCH_DATASETS.json", "w") as f:
-            json.dump({"scale": SCALE, "rows": rows}, f, indent=1)
+            json.dump({"scale": SCALE, "rows": kept_better + rows}, f, indent=1)
     # markdown table
     print("\n| family | N | add/s | exact-serving QPS (r@1) | best IVF point |")
     print("|---|---|---|---|---|")
