@@ -392,3 +392,41 @@ def test_grouped_kernel_hamming_b1_interpret(rng):
                 continue
             ham = int(np.sum(qb[qi] ^ tb[rid]))
             assert abs(ham - dg[qi, j]) < 1e-3, (qi, j, ham, dg[qi, j])
+
+
+def test_grouped_ring_depth_parity(rng):
+    """Grouped-kernel DMA ring depth must not change outputs (n_slots=4 vs
+    the default 2), mirroring the nofold kernel's depth-parity test."""
+    import jax.numpy as jnp
+    from usearch_tpu.ivf import _binned_pairs
+    from usearch_tpu.ops.pallas_probe import pallas_ivf_probe_grouped
+
+    C, clen, D, Q, nprobe = 16, 128, 64, 8, 4
+    cap2 = C * clen + 128
+    n = C * clen
+    table = np.zeros((cap2, D), np.int8)
+    table[:n] = rng.integers(-127, 128, (n, D), dtype=np.int8)
+    starts = jnp.asarray(np.arange(C, dtype=np.int32) * clen)
+    lens = jnp.asarray(np.full(C, clen, np.int32))
+    q = jnp.asarray(rng.integers(-127, 128, (Q, D), dtype=np.int8))
+    w_pad = ((clen + 127) // 128 + 1) * 128
+    probes = jnp.asarray(
+        np.stack([rng.choice(C, nprobe, replace=False) for _ in range(Q)])
+    ).astype(jnp.int32)
+    q_g, qid_s, widx, meta, order, p0, p_total = _binned_pairs(
+        q, probes, starts, lens, cap2, w_pad, nprobe, 128
+    )
+    qf = q.astype(jnp.float32)
+    q_aux = jnp.zeros((p_total, 8), jnp.float32)
+    q_aux = q_aux.at[:, 0].set(jnp.sum(qf * qf, axis=1)[qid_s])
+    q_aux = q_aux.at[:, 2].set(widx.reshape(-1).astype(jnp.float32))
+    t_aux = jnp.zeros((1, cap2), jnp.float32)
+    outs = [
+        pallas_ivf_probe_grouped(
+            MetricKind.IP, q_g, q_aux, jnp.asarray(table), t_aux, meta,
+            5, w_pad, 128, 4, True, ns,
+        )
+        for ns in (2, 4)
+    ]
+    np.testing.assert_array_equal(np.asarray(outs[0][0]), np.asarray(outs[1][0]))
+    np.testing.assert_array_equal(np.asarray(outs[0][1]), np.asarray(outs[1][1]))

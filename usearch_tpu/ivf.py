@@ -72,6 +72,11 @@ _BIN_KEEP = int(_os.environ.get("USEARCH_TPU_BIN_KEEP", "4"))
 #: so per-launch QPS matches the capped batch). Raise experimentally via
 #: the env knob when chasing more cross-query sharing.
 _PROBE_QCHUNK = int(_os.environ.get("USEARCH_TPU_PROBE_QCHUNK", "8192"))
+#: grouped-kernel DMA ring depth: window fetches in flight. 2 = classic
+#: double buffering; deeper rings help SPARSE probe densities
+#: (Q*nprobe/C < 1) where consecutive windows stop being adjacent in HBM
+#: and the fetch latency leaks into the critical path
+_PROBE_RING = int(_os.environ.get("USEARCH_TPU_PROBE_RING", "2"))
 #: in-kernel bin-select primitive: "pack" (i32 packed-key min) or
 #: "fminarg" (f32 min+argmin rounds, the v1 kernel's extract)
 _BIN_SEL = _os.environ.get("USEARCH_TPU_BIN_SEL", "pack")
@@ -1332,7 +1337,7 @@ def _ivf_probe_search_dense_grouped(
     pd, pi = pallas_ivf_probe_grouped(
         metric, q_g, q_aux_g, table, t_aux, meta,
         k, w_pad, g, min(bin_m, 16),
-        jax.default_backend() == "cpu",
+        jax.default_backend() == "cpu", _PROBE_RING,
     )
 
     # scatter per-pair results back to (query, probe) order, reduce per query

@@ -263,7 +263,8 @@ def _make_probe_kernel(
 
 
 def _make_grouped_kernel(
-    metric: MetricKind, k_pad: int, w_pad: int, g: int, bin_m: int
+    metric: MetricKind, k_pad: int, w_pad: int, g: int, bin_m: int,
+    n_slots: int = 2,
 ):
     """Partition-grouped cell: G (query, partition) PAIRS sorted by
     partition; the cell's distinct windows are DMA'd and matmul'd ONCE
@@ -307,8 +308,17 @@ def _make_grouped_kernel(
                 t_aux_ref.at[:, pl.ds(s, w_pad)], abuf.at[slot], sems.at[slot, 1]
             )
 
-        win_dma(0, 0).start()
-        aux_dma(0, 0).start()
+        # fill the ring: slots 0..n_slots-2 start immediately (window w's
+        # slot is w % n_slots; the body prefetches w + n_slots - 1). Depth
+        # >2 keeps more window DMAs in flight — the lever for SPARSE probe
+        # densities (pairs/chunk < 1), where windows stop being
+        # back-to-back in HBM and a depth-2 ring exposes the fetch latency
+        # (measured cliff: 11.5 us/window at density 0.75 vs 5.9 at 1.0).
+        for w0 in range(n_slots - 1):
+            @pl.when(w0 < n_win)
+            def _start(w0=w0):
+                win_dma(w0, w0).start()
+                aux_dma(w0, w0).start()
         acc_d[:] = jnp.full_like(acc_d, MASKED)
         acc_i[:] = jnp.full_like(acc_i, -1)
         q_sq = q_aux_ref[:, 0]
@@ -317,13 +327,13 @@ def _make_grouped_kernel(
         lane_widx = q_aux_ref[:, 2]  # [g] f32
 
         def body(w, _):
-            slot = jax.lax.rem(w, 2)
-            nxt = jax.lax.rem(w + 1, 2)
+            slot = jax.lax.rem(w, n_slots)
+            nxt = jax.lax.rem(w + n_slots - 1, n_slots)
 
-            @pl.when(w + 1 < n_win)
+            @pl.when(w + n_slots - 1 < n_win)
             def _prefetch():
-                win_dma(nxt, w + 1).start()
-                aux_dma(nxt, w + 1).start()
+                win_dma(nxt, w + n_slots - 1).start()
+                aux_dma(nxt, w + n_slots - 1).start()
 
             win_dma(slot, w).wait()
             aux_dma(slot, w).wait()
@@ -800,7 +810,7 @@ def pallas_ivf_probe_binned(
     return out_d, out_i
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6, 7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(0, 6, 7, 8, 9, 10, 11))
 def pallas_ivf_probe_grouped(
     metric: MetricKind,
     q_g: jnp.ndarray,        # [P, D] gathered pair-query rows; P % g == 0
@@ -813,8 +823,10 @@ def pallas_ivf_probe_grouped(
     g: int = 128,
     bin_m: int = 4,
     interpret: bool = False,
+    n_slots: int = 2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Grouped probe: returns per-PAIR (dists [P, k] f32, ids [P, k] i32)."""
+    """Grouped probe: returns per-PAIR (dists [P, k] f32, ids [P, k] i32).
+    ``n_slots``: DMA ring depth (see _make_grouped_kernel)."""
     p_total, d_width = q_g.shape
     cap2 = table.shape[0]
     aux_rows = t_aux.shape[0]
@@ -822,7 +834,9 @@ def pallas_ivf_probe_grouped(
     k_pad = max(k, 8)
     cells = p_total // g
 
-    kernel = _make_grouped_kernel(metric, k_pad, w_pad, g, min(bin_m, k_pad))
+    kernel = _make_grouped_kernel(
+        metric, k_pad, w_pad, g, min(bin_m, k_pad), n_slots
+    )
     out_d, out_i = pl.pallas_call(
         kernel,
         grid=(cells,),
@@ -842,11 +856,11 @@ def pallas_ivf_probe_grouped(
             jax.ShapeDtypeStruct((p_total, k_pad), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, w_pad, d_width), table.dtype),
-            pltpu.VMEM((2, aux_rows, w_pad), jnp.float32),
+            pltpu.VMEM((n_slots, w_pad, d_width), table.dtype),
+            pltpu.VMEM((n_slots, aux_rows, w_pad), jnp.float32),
             pltpu.VMEM((k_pad, g), jnp.float32),
             pltpu.VMEM((k_pad, g), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((n_slots, 2)),
         ],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
