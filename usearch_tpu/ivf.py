@@ -76,7 +76,7 @@ _PROBE_QCHUNK = int(_os.environ.get("USEARCH_TPU_PROBE_QCHUNK", "8192"))
 #: double buffering; deeper rings help SPARSE probe densities
 #: (Q*nprobe/C < 1) where consecutive windows stop being adjacent in HBM
 #: and the fetch latency leaks into the critical path
-_PROBE_RING = int(_os.environ.get("USEARCH_TPU_PROBE_RING", "2"))
+_PROBE_RING = int(_os.environ.get("USEARCH_TPU_PROBE_RING", "0"))  # 0 = adaptive
 #: in-kernel bin-select primitive: "pack" (i32 packed-key min) or
 #: "fminarg" (f32 min+argmin rounds, the v1 kernel's extract)
 _BIN_SEL = _os.environ.get("USEARCH_TPU_BIN_SEL", "pack")
@@ -1334,10 +1334,16 @@ def _ivf_probe_search_dense_grouped(
         )
 
     bin_m = 4 if nprobe * (w_pad // 128) >= 8 * k else k
+    # adaptive DMA ring: at sparse probe densities (pairs/chunk < 1/2)
+    # windows stop being back-to-back in HBM and deeper prefetch buys
+    # ~20% (100M on-chip A/B at nprobe=2: 35.3k → 43.2k QPS at depth 8);
+    # at dense coverage depth is neutral, so keep the lean ring
+    n_chunks = int(lens.shape[0])
+    ring = _PROBE_RING or (8 if n_q * nprobe * 2 < n_chunks else 2)
     pd, pi = pallas_ivf_probe_grouped(
         metric, q_g, q_aux_g, table, t_aux, meta,
         k, w_pad, g, min(bin_m, 16),
-        jax.default_backend() == "cpu", _PROBE_RING,
+        jax.default_backend() == "cpu", ring,
     )
 
     # scatter per-pair results back to (query, probe) order, reduce per query
