@@ -198,8 +198,14 @@ def main():
                     log(f"keeping existing {r['family']} row "
                         f"(scale {r.get('scale')} > this run's {SCALE})")
                     kept_better.append(r)
+    kept_names = {r.get("family") for r in kept_better}
     for fam in FAMILIES:
         if only and not any(s in fam[0] for s in only):
+            continue
+        if fam[0] in kept_names:
+            # a fuller-scale row was kept above: rerunning at this smaller
+            # scale would append a duplicate row for the same family
+            log(f"skipping {fam[0]}: fuller-scale row kept")
             continue
         try:
             rows.append(run_family(*fam))

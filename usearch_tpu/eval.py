@@ -29,31 +29,42 @@ def random_vectors(
     ndim: Optional[int] = None,
     index=None,
 ) -> np.ndarray:
-    """Random vectors normalized for `metric`/`dtype` (b1 bit-packed)."""
+    """Draw `count` synthetic rows laid out for the target index geometry:
+    bit-packed uint8 words when the metric or storage is binary, [0,100)
+    int8 for i8 storage, unit-normalized floats for IP, raw uniforms for
+    everything else. Pass `index=` to pull the geometry off a live index."""
     if index is not None:
-        ndim = index.ndim
-        dtype = index.dtype
-        metric = index.metric
+        metric, dtype, ndim = index.metric, index.dtype, index.ndim
     else:
         metric = normalize_metric(metric)
         dtype = normalize_dtype(dtype, ndim=ndim or 0, metric=metric)
+    if not ndim:
+        raise ValueError("ndim must be known: pass ndim= or index=")
 
-    if metric in MetricKindBitwise or dtype == ScalarKind.B1:
-        bit_vectors = np.random.randint(2, size=(count, ndim))
-        return np.packbits(bit_vectors, axis=1)
+    rng = np.random.default_rng()
+    if dtype == ScalarKind.B1 or metric in MetricKindBitwise:
+        # fair coin per bit, packed MSB-first into ndim//8 words — padding
+        # bits (ndim not a byte multiple) stay zero
+        return np.packbits(rng.random((count, ndim)) < 0.5, axis=1)
 
-    x = np.random.rand(count, ndim)
-    if to_numpy_dtype(dtype) == np.int8:
-        return (x * 100).astype(np.int8)
-    x = x.astype(to_numpy_dtype(dtype))
+    rows = rng.random((count, ndim))
+    target = to_numpy_dtype(dtype)
+    if target == np.int8:
+        return (rows * 100.0).astype(np.int8)
+    rows = rows.astype(target)
     if metric == MetricKind.IP:
-        return x / np.linalg.norm(x, axis=1, keepdims=True)
-    return x
+        rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    return rows
 
 
 @dataclass
 class SearchStats:
-    """Search-quality statistics: recall and distance-computation efficiency."""
+    """Aggregate quality counters over a batch of probed searches.
+
+    ``mean_recall`` is the fraction of queries whose expected member
+    surfaced. ``mean_efficiency`` measures how much of the corpus the
+    engine skipped: 1.0 means no distances were evaluated at all, 0.0
+    means every query brute-forced every member."""
 
     index_size: int
     count_queries: int
@@ -62,12 +73,13 @@ class SearchStats:
     computed_distances: int
 
     @property
-    def mean_efficiency(self) -> float:
-        return 1 - float(self.computed_distances) / (self.count_queries * self.index_size)
+    def mean_recall(self) -> float:
+        return self.count_matches / float(self.count_queries)
 
     @property
-    def mean_recall(self) -> float:
-        return self.count_matches / self.count_queries
+    def mean_efficiency(self) -> float:
+        exhaustive = float(self.count_queries) * float(self.index_size)
+        return 1.0 - self.computed_distances / exhaustive
 
 
 def self_recall(index, sample: Union[float, int] = 1.0, **kwargs) -> SearchStats:

@@ -150,18 +150,25 @@ class _RWLock:
         self._writer_depth = 0
 
     def acquire_read(self):
+        """Returns a token: True when a reader slot was taken, False when
+        the caller IS the current writer (reentrant read). Hand the token
+        back to ``release_read`` — release may happen on a different
+        thread than acquire (``search_async`` dispatches on one thread,
+        ``result()`` may run on another), so pairing by token rather than
+        by releasing-thread identity keeps the count balanced."""
         me = threading.get_ident()
         with self._cond:
             if self._writer_owner == me:
-                return  # the mutating thread may read its own state
+                return False  # the mutating thread may read its own state
             while self._writer_owner is not None:
                 self._cond.wait()
             self._readers += 1
+            return True
 
-    def release_read(self):
+    def release_read(self, token=True):
+        if not token:
+            return
         with self._cond:
-            if self._writer_owner == threading.get_ident():
-                return
             self._readers -= 1
             if self._readers == 0:
                 self._cond.notify_all()
@@ -193,9 +200,10 @@ class PendingSearch:
     checkout (index_dense.hpp:550-564). `result()` is idempotent."""
 
     __slots__ = ("_index", "_d", "_slots", "_n_q", "_single", "_radius",
-                 "_scanned", "_out", "_lock_held")
+                 "_scanned", "_out", "_lock_token", "_empty", "_error")
 
-    def __init__(self, index, d, slots, n_q, single, radius, scanned):
+    def __init__(self, index, d, slots, n_q, single, radius, scanned,
+                 lock_token=True):
         self._index = index
         self._d = d
         self._slots = slots
@@ -204,14 +212,18 @@ class PendingSearch:
         self._radius = radius
         self._scanned = scanned
         self._out = None
-        self._lock_held = True
+        self._empty = d is None  # empty-index fast path, decided at dispatch
+        self._error = None
+        self._lock_token = lock_token
 
     def result(self):
         if self._out is not None:
             return self._out
+        if self._error is not None:  # a prior attempt failed: stay failed
+            raise self._error
         index = self._index
         try:
-            if self._d is None:  # empty-index fast path
+            if self._empty:
                 if self._single:
                     self._out = Matches(
                         keys=np.zeros(0, np.uint64),
@@ -225,21 +237,25 @@ class PendingSearch:
                     )
             else:
                 d, slots = jax.device_get((self._d, self._slots))
-                self._d = self._slots = None
                 self._out = index._finish_search(
                     d, slots, self._n_q, self._single, self._radius,
                     self._scanned, None,
                 )
+                self._d = self._slots = None
+        except BaseException as e:
+            self._error = e
+            raise
         finally:
-            if self._lock_held:
-                self._lock_held = False
-                index._rwlock.release_read()
+            if self._lock_token is not None:
+                token, self._lock_token = self._lock_token, None
+                index._rwlock.release_read(token)
         return self._out
 
     def __del__(self):  # pragma: no cover - abandoned handle safety
-        if getattr(self, "_lock_held", False):
+        token = getattr(self, "_lock_token", None)
+        if token is not None:
             try:
-                self._index._rwlock.release_read()
+                self._index._rwlock.release_read(token)
             except Exception:
                 pass
 
@@ -249,11 +265,11 @@ def _reads(fn):
 
     @functools.wraps(fn)
     def wrapper(self, *args, **kwargs):
-        self._rwlock.acquire_read()
+        token = self._rwlock.acquire_read()
         try:
             return fn(self, *args, **kwargs)
         finally:
-            self._rwlock.release_read()
+            self._rwlock.release_read(token)
 
     return wrapper
 
@@ -1297,22 +1313,25 @@ class Index:
         lock is held until ``result()`` is consumed — the reference's
         search_result_t holds its thread lock the same way
         (index_dense.hpp:550-564)."""
-        self._rwlock.acquire_read()
+        token = self._rwlock.acquire_read()
         try:
-            pend = self._search_dispatch(vectors, count, radius, exact, filter)
+            pend = self._search_dispatch(vectors, count, radius, exact, filter,
+                                         lock_token=token)
         except BaseException:
-            self._rwlock.release_read()
+            self._rwlock.release_read(token)
             raise
         return pend
 
-    def _search_dispatch(self, vectors, count, radius, exact, filter):
+    def _search_dispatch(self, vectors, count, radius, exact, filter,
+                         lock_token=True):
         dev_q, dev_kind = self._device_rows(vectors) if self._count else (None, None)
         if dev_q is None and not isinstance(vectors, np.ndarray):
             vectors = np.asarray(vectors)
         single = vectors.ndim == 1
         if self._count == 0 or (self._table is None and not self._streamed):
             n_q = 1 if single else vectors.shape[0]
-            return PendingSearch(self, None, None, n_q, single, radius, 0)
+            return PendingSearch(self, None, None, n_q, single, radius, 0,
+                                 lock_token=lock_token)
         q_rows = (dev_q, dev_kind) if dev_q is not None else self._prepare_batch(vectors)
         n_q = vectors.shape[0] if not single else 1
         k = min(int(count), self._count)
@@ -1320,7 +1339,8 @@ class Index:
             if dev_q is not None:
                 q_rows = self._prepare_batch(np.asarray(dev_q))
             d, slots = self._streamed_topk(q_rows, k, filter)
-            return PendingSearch(self, d, slots, n_q, single, radius, self._count)
+            return PendingSearch(self, d, slots, n_q, single, radius,
+                                 self._count, lock_token=lock_token)
         valid = self._valid if filter is None else self._filter_mask(filter)
         use_ivf = (
             not exact
@@ -1333,7 +1353,8 @@ class Index:
             and self._metric_fn is None and self._count >= 131072
         )
         d, slots, scanned = self._search_prepared(q_rows, k, valid, use_ivf, approx)
-        return PendingSearch(self, d, slots, n_q, single, radius, scanned)
+        return PendingSearch(self, d, slots, n_q, single, radius, scanned,
+                             lock_token=lock_token)
 
     def _finish_search(self, d, slots, n_q, single, radius, scanned, progress):
         """Map slot results to keys and wrap as Matches/BatchMatches."""

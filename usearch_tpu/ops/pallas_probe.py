@@ -903,8 +903,17 @@ def pallas_ivf_probe(
     assert w_pad % _LANES == 0 and cap2 >= w_pad
     assert k <= _KPAD
 
-    qf = q.astype(jnp.float32)
-    q_aux = jnp.stack([jnp.sum(qf * qf, axis=1), jnp.sum(qf, axis=1)], axis=1)
+    if q.dtype == jnp.uint8:
+        # b1 packed storage: the per-query stats carry BIT counts (for
+        # {0,1} vectors popcount == sum == sum of squares), not sums of the
+        # raw packed byte values — hamming's epilogue restores
+        # pop(q)+pop(t)-2·and from q_sq, so packed-byte sums would shift
+        # every returned distance by a per-query constant
+        pc = jnp.sum(jax.lax.population_count(q).astype(jnp.float32), axis=1)
+        q_aux = jnp.stack([pc, pc], axis=1)
+    else:
+        qf = q.astype(jnp.float32)
+        q_aux = jnp.stack([jnp.sum(qf * qf, axis=1), jnp.sum(qf, axis=1)], axis=1)
 
     kernel = _make_probe_kernel(metric, k, nprobe, w_pad, q_sub, min(bin_m, k))
     grid = (n_q // q_sub,)

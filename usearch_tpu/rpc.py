@@ -339,30 +339,44 @@ class BinaryIndexClient:
         from .matches import BatchMatches
 
         batches = [np.atleast_2d(np.asarray(b)) for b in batches]
+        results = []
+        first_err = None
+
+        def drain_one():
+            nonlocal first_err
+            frame = _recv_frame(self.sock)
+            if frame is None:
+                raise ConnectionError("server closed the connection")
+            _, status, out = frame
+            if status != 0:
+                if first_err is None:
+                    first_err = RuntimeError(
+                        out[0].decode() if out else "remote error"
+                    )
+                results.append(None)
+                return
+            keys, dists, counts = (unpack_array(s) for s in out)
+            results.append(BatchMatches(
+                keys=keys, distances=dists, counts=counts.astype(np.uint64)
+            ))
+
         with self._lock:
+            # keep at most _PIPELINE_DEPTH requests in flight: an unbounded
+            # write burst can fill BOTH sockets' TCP buffers (the server
+            # flushes responses while we are still sending) and deadlock
+            # with each side blocked in send
+            in_flight = 0
             for b in batches:
+                if in_flight >= _PIPELINE_DEPTH:
+                    drain_one()
+                    in_flight -= 1
                 _send_frame(
                     self.sock, OP_SEARCH,
                     [pack_array(b), struct.pack("<IB", count, 1 if exact else 0)],
                 )
-            results = []
-            first_err = None
-            for _ in batches:  # drain EVERY response (keep the stream in sync)
-                frame = _recv_frame(self.sock)
-                if frame is None:
-                    raise ConnectionError("server closed the connection")
-                _, status, out = frame
-                if status != 0:
-                    if first_err is None:
-                        first_err = RuntimeError(
-                            out[0].decode() if out else "remote error"
-                        )
-                    results.append(None)
-                    continue
-                keys, dists, counts = (unpack_array(s) for s in out)
-                results.append(BatchMatches(
-                    keys=keys, distances=dists, counts=counts.astype(np.uint64)
-                ))
+                in_flight += 1
+            for _ in range(in_flight):  # drain EVERY response (stream sync)
+                drain_one()
         if first_err is not None:
             raise first_err
         return results
