@@ -128,14 +128,27 @@ def search_kernel(
             if approx:
                 from .ops.pallas_scan import pallas_search_binned
 
-                # transposed + full-precision outputs measured fastest (263k
-                # QPS vs 232k compact / 220k compute_bf16 at 1M×256 i8, v5e);
-                # the i8 MXU dot runs at native rate in this orientation
+                # i8/bf16: transposed + full-precision outputs measured
+                # fastest (i8 263k QPS; bf16 276k at 1M×256, v5e) — their
+                # MXU dots run at native rate in this orientation. f32/f16
+                # storage instead generates candidates with an in-VMEM bf16
+                # cast + COMPACT outputs and re-scores 2k winners exactly
+                # in f32: the pallas dot's default precision truncates f32
+                # to bf16 passes anyway, so the plain kernel's "f32" scores
+                # are silently bf16-quality (measured r@1 0.9795 vs true
+                # f32 GT at 1M×256) — the oversampled exact rescore lifts
+                # r@1 to 0.9993 / r@10 0.981 at 209k QPS (os=2; os=4:
+                # 0.9996/0.994 at 167k; scripts/tpu_f32_sweep.py).
+                cast_bf16 = kind in (ScalarKind.F32, ScalarKind.F16)
+                oversample = int(_os.environ.get("USEARCH_TPU_OVERSAMPLE", "2"))
                 return pallas_search_binned(
                     metric, q, table, stats, valid, k,
                     q_tile=q_tile, t_tile=t_tile,
                     interpret=interp,
                     transposed=True,
+                    compute_bf16=cast_bf16,
+                    compact=cast_bf16,
+                    oversample=oversample,
                 )
             from .ops.pallas_scan import pallas_search_exact
 

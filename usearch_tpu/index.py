@@ -1211,9 +1211,12 @@ class Index:
 
         if self._dtype == ScalarKind.B1:
             return self._metric_kind in BINARY_PROBE_METRICS
-        return self._metric_kind in (
-            MetricKind.IP, MetricKind.Cos, MetricKind.L2sq, MetricKind.Pearson
-        )
+        # every other accepted combination probes: the dot family rides the
+        # matmul epilogues, the metric tail (haversine/divergence/jaccard
+        # sets) and UDF CompiledMetrics score the full per-pair formula on
+        # the gathered candidates (ivf.GENERIC_PROBE_METRICS) — no metric
+        # falls back to O(N) once an IVF is built
+        return True
 
     @_reads
     def search(
@@ -1268,14 +1271,7 @@ class Index:
         # identity-keyed validity caches warm across calls.
         valid = self._valid if filter is None else self._filter_mask(filter)
 
-        use_ivf = (
-            not exact
-            and not self._is_set_index
-            and self._metric_fn is None
-            # optimize() refuses unsupported combos; this guard covers
-            # metric changes after build
-            and self._ivf_serveable()
-        )
+        use_ivf = not exact and self._ivf_serveable()
         # Approximate per-tile top-k (TPU-binned) for big non-exact scans:
         # mirrors the reference's approximate-by-default recall (~99%).
         approx = (
@@ -1342,12 +1338,7 @@ class Index:
             return PendingSearch(self, d, slots, n_q, single, radius,
                                  self._count, lock_token=lock_token)
         valid = self._valid if filter is None else self._filter_mask(filter)
-        use_ivf = (
-            not exact
-            and not self._is_set_index
-            and self._metric_fn is None
-            and self._ivf_serveable()
-        )
+        use_ivf = not exact and self._ivf_serveable()
         approx = (
             not exact and not use_ivf and not self._is_set_index
             and self._metric_fn is None and self._count >= 131072
@@ -1592,31 +1583,6 @@ class Index:
 
         if self._count == 0:
             return
-        from .ivf import BINARY_PROBE_METRICS
-
-        binary_ok = (
-            self._dtype == ScalarKind.B1
-            and self._metric_kind in BINARY_PROBE_METRICS
-        )
-        if (
-            self._metric_kind not in (
-                MetricKind.IP, MetricKind.Cos, MetricKind.L2sq, MetricKind.Pearson
-            )
-            and not binary_ok
-        ):
-            raise ValueError(
-                f"IVF probing supports ip/cos/l2sq/pearson and packed-bit "
-                f"hamming/tanimoto/sorensen (got {self._metric_kind.value}): "
-                "haversine/divergence/jaccard/UDF metrics serve through the "
-                "exact scan"
-            )
-        if self._is_set_index or self._metric_fn is not None or (
-            self._dtype == ScalarKind.B1 and not binary_ok
-        ):
-            raise ValueError(
-                "IVF probing supports dense numeric tables and packed-bit "
-                "binary-metric tables with built-in metrics"
-            )
         if reorder:
             self._ivf = IVFPartitions.build_inplace(self, n_partitions, spill=spill)
         else:

@@ -126,15 +126,16 @@ def _fresh_probe_mask(fresh_slots, cap: int):
     return jnp.ones((cap,), jnp.bool_).at[safe].set(False)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 7, 8))
-def _fresh_topk(metric, kind, q, table, stats, valid, fresh_slots, ndim: int, k: int):
+@functools.partial(jax.jit, static_argnums=(0, 1, 7, 8, 9))
+def _fresh_topk(metric, kind, q, table, stats, valid, fresh_slots, ndim: int, k: int,
+                metric_fn=None):
     """Exact top-k of queries against the fresh overflow list, gathered from
     the LIVE table (never a stale copy). One small [Q, F] tile."""
     safe = jnp.maximum(fresh_slots, 0)
     rows = table[safe]
     rstats = stats[safe]
     qs = row_stats(q, kind)
-    d = tile_dists(metric, kind, q, qs, rows, rstats, ndim)
+    d = tile_dists(metric, kind, q, qs, rows, rstats, ndim, metric_fn)
     ok = (fresh_slots >= 0) & valid[safe]
     d, idx = masked_topk(d, ok, k)
     slots = jnp.where(idx >= 0, fresh_slots[jnp.clip(idx, 0, None)], -1)
@@ -256,7 +257,15 @@ class IVFPartitions:
 
         # device-resident rows: no table round trip through the host
         rows = index._table[jnp.asarray(live)]  # storage dtype: no f32 table copy
-        if index._dtype == ScalarKind.B1:
+        if index._is_set_index:
+            # quantizer space for sorted-set tables: the dense presence
+            # sketch (jaccard-similar sets land near each other in L2)
+            rows = _set_sketch(rows)
+        elif index._metric_kind == MetricKind.Divergence:
+            # Hellinger embedding: L2 over sqrt-probabilities tracks JS
+            # divergence far better than L2 over raw coordinates
+            rows = jnp.sqrt(jnp.maximum(rows.astype(jnp.float32), 0.0))
+        elif index._dtype == ScalarKind.B1:
             # quantizer space for packed-bit tables: the UNPACKED {0,1}
             # bits — hamming IS squared L2 there, so a plain L2 k-means
             # partitions the hamming/tanimoto/sorensen neighborhoods
@@ -587,6 +596,7 @@ class IVFPartitions:
             and k <= 128
             and (_PROBE_MODE != "pair" or q.shape[0] % 8 == 0)
             and kernel_metric_ok
+            and index._metric_fn is None  # UDFs score on gathered candidates
         )
 
     def _live_frac(self, valid) -> float:
@@ -649,6 +659,7 @@ class IVFPartitions:
                 fresh_dev,
                 index._ndim,
                 kf,
+                index._metric_fn,
             )
             return merge_topk(jnp.asarray(d), jnp.asarray(slots),
                               df, sf.astype(jnp.int32), k)
@@ -683,6 +694,7 @@ class IVFPartitions:
             index._ndim,
             kk,
             nprobe,
+            index._metric_fn,
         )
         if self.spilled and kk > k:
             # spilled rows live in two partitions: a probe that hits both
@@ -770,6 +782,7 @@ class IVFPartitions:
             nprobe,
             self.p_win,
             self.block,
+            index._metric_fn,
         )
 
 
@@ -784,7 +797,7 @@ def _part_valid_compute(valid, part_slots):
     return (part_slots >= 0) & valid[jnp.maximum(part_slots, 0)]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(0, 1, 8, 9, 10, 11))
 def _ivf_probe_search(
     metric: MetricKind,
     kind: ScalarKind,
@@ -797,6 +810,7 @@ def _ivf_probe_search(
     ndim: int,
     k: int,
     nprobe: int,
+    metric_fn=None,
 ):
     """Probe `nprobe` partitions per query; candidates arrive as whole
     partition blocks (contiguous reads). Queries run in fixed chunks so the
@@ -806,7 +820,7 @@ def _ivf_probe_search(
     n_q = q.shape[0]
     p = part_table.shape[1]
     q_stats = row_stats(q, kind)
-    qf = _query_f32(kind, q)
+    qf = _query_f32(kind, q, metric)
 
     # empty partitions (all entries invalid/pad) rank last so probe slots
     # are never spent gathering fully-masked blocks
@@ -819,6 +833,13 @@ def _ivf_probe_search(
     # chunk size bounded so the gathered [chunk, nprobe*P, D] tensor stays
     # within a fixed HBM budget
     row_bytes = part_table.shape[-1] * part_table.dtype.itemsize + 12
+    generic = metric_fn is not None or metric in GENERIC_PROBE_METRICS
+    if metric == MetricKind.Jaccard:
+        # the membership comparison broadcasts [chunk, X, Wq, Wt] bools
+        row_bytes *= max(part_table.shape[-1], 1)
+    elif generic:
+        # broadcast f32 intermediates ([chunk, X, D] for divergence/UDF)
+        row_bytes *= 8
     budget = 128 * 1024 * 1024
     chunk = int(np.clip(budget // max(nprobe * p * row_bytes, 1), 8, _QUERY_CHUNK))
     chunk = min(chunk, n_q)
@@ -841,14 +862,20 @@ def _ivf_probe_search(
         cand = part_slots[prc].reshape(chunk, nprobe * p)
         ok = part_valid[prc].reshape(chunk, nprobe * p)
 
-        # raw-operand batched matvec: no widened HBM copy (see _dense_probe_core)
-        bdims = (((1,), (2,)), ((0,), (0,)))
-        d_ = _probe_dot(kind, qc, rows, bdims)
-        q_sq = qsc[:, 0]
-        t_sq = rstats[..., 0]
-        dist = _probe_metric_dists(
-            metric, d_, q_sq, t_sq, qsc[:, 1], rstats[..., 1], ndim
-        )
+        if generic:
+            from .ops.distances import gathered_dists
+
+            dist = gathered_dists(metric, kind, qc, rows, ndim, metric_fn)
+        else:
+            # raw-operand batched matvec: no widened HBM copy (see
+            # _dense_probe_core)
+            bdims = (((1,), (2,)), ((0,), (0,)))
+            d_ = _probe_dot(kind, qc, rows, bdims)
+            q_sq = qsc[:, 0]
+            t_sq = rstats[..., 0]
+            dist = _probe_metric_dists(
+                metric, d_, q_sq, t_sq, qsc[:, 1], rstats[..., 1], ndim
+            )
         dist = jnp.where(ok, dist, MASKED)
         kk = min(k, dist.shape[1])
         d_out, ids = _staged_topk(dist, cand, kk)
@@ -867,7 +894,7 @@ def _ivf_probe_search(
 
 def _dense_probe_core(
     metric, kind, qc, qsc, prc, starts, lens, vblk, tblk, sblk, cap2, block,
-    nblk, k, ndim=0,
+    nblk, k, ndim=0, metric_fn=None,
 ):
     """Score one query chunk against its probed windows in the dense layout.
     Traceable core shared by the single-chip probe and the sharded
@@ -905,16 +932,21 @@ def _dense_probe_core(
     # materialized the widened [chunk, nprobe*r, D] tensor in HBM — 4x the
     # gather bytes again as i32 write+read; it dominated probe time at 100M:
     # 16 ms/chunk observed vs ~0.3 ms of useful gather traffic.)
-    bdims = (((1,), (2,)), ((0,), (0,)))
-    d_ = _probe_dot(kind, qc, rows, bdims)
-    q_sq = qsc[:, 0]
-    if metric != MetricKind.IP:
-        sg = sblk[bidx]
-        t_sq = sg[..., 0].reshape(chunk, nprobe * r)
-        t_sum = sg[..., 1].reshape(chunk, nprobe * r)
+    if metric_fn is not None or metric in GENERIC_PROBE_METRICS:
+        from .ops.distances import gathered_dists
+
+        dist = gathered_dists(metric, kind, qc, rows, ndim, metric_fn)
     else:
-        t_sq = t_sum = None
-    dist = _probe_metric_dists(metric, d_, q_sq, t_sq, qsc[:, 1], t_sum, ndim)
+        bdims = (((1,), (2,)), ((0,), (0,)))
+        d_ = _probe_dot(kind, qc, rows, bdims)
+        q_sq = qsc[:, 0]
+        if metric != MetricKind.IP:
+            sg = sblk[bidx]
+            t_sq = sg[..., 0].reshape(chunk, nprobe * r)
+            t_sum = sg[..., 1].reshape(chunk, nprobe * r)
+        else:
+            t_sq = t_sum = None
+        dist = _probe_metric_dists(metric, d_, q_sq, t_sq, qsc[:, 1], t_sum, ndim)
     dist = jnp.where(ok, dist, MASKED)
     kk = min(k, dist.shape[1])
     d_out, ids = _staged_topk(dist, cand, kk)
@@ -935,26 +967,62 @@ BINARY_PROBE_METRICS = (
     MetricKind.Hamming, MetricKind.Tanimoto, MetricKind.Sorensen
 )
 
+#: metrics with no dot decomposition: probed candidates are scored by the
+#: full per-pair formula on the gathered rows (distances.gathered_dists) —
+#: sub-linear serving for the whole metric tail, matching the reference's
+#: metric-generic HNSW (index.hpp:1936; set-vector HNSW cpp/test.cpp:909)
+GENERIC_PROBE_METRICS = (
+    MetricKind.Haversine, MetricKind.Divergence, MetricKind.Jaccard
+)
 
-def _query_f32(kind, q):
-    """Query rows in centroid space: unpacked {0,1} bits for b1 storage
-    (matching the quantizer's fit space), plain f32 cast otherwise."""
+
+#: presence-sketch width for sorted-set rows (jaccard set indexes): the
+#: coarse quantizer clusters sets in this dense space
+_SET_SKETCH_DIM = 128
+
+
+def _set_sketch(rows):
+    """Embed padded sorted-integer-set rows [N, W] (-1 = pad) into a dense
+    presence histogram [N, S] f32: each element hashes (Knuth multiplicative)
+    to one of S buckets. Jaccard-similar sets share most elements, hence
+    most bucket counts — L2 over sketches ranks the same neighborhoods, so
+    a plain k-means partitions them for probing (the candidate scoring then
+    computes EXACT jaccard on the gathered set rows)."""
+    r = rows.astype(jnp.uint32)
+    ok = rows != -1
+    h = ((r * jnp.uint32(2654435761)) >> 7) % jnp.uint32(_SET_SKETCH_DIM)
+    one = jax.nn.one_hot(h.astype(jnp.int32), _SET_SKETCH_DIM, dtype=jnp.float32)
+    return jnp.sum(one * ok[..., None].astype(jnp.float32), axis=-2)
+
+
+def _query_f32(kind, q, metric=None):
+    """Query rows in centroid space: unpacked {0,1} bits for b1 storage,
+    presence sketches for int32 set rows, the Hellinger embedding (sqrt of
+    the probability coordinates — L2 there tracks JS divergence) for the
+    divergence metric (all matching the quantizer's fit space), plain f32
+    cast otherwise."""
     if kind == ScalarKind.B1:
         from .ops.packbits import unpack_bits
 
         return unpack_bits(q).astype(jnp.float32)
-    return q.astype(jnp.float32)
+    if q.dtype == jnp.int32:  # sorted-set storage (jaccard set index)
+        return _set_sketch(q)
+    qf = q.astype(jnp.float32)
+    if metric == MetricKind.Divergence:
+        return jnp.sqrt(jnp.maximum(qf, 0.0))
+    return qf
 
 
 def _centroid_metric(metric):
     """Partition-ranking metric: binary metrics rank by L2 over the bit
     space (hamming == l2sq on {0,1} vectors; tanimoto/sorensen are
     popcount-normalized variants of the same neighborhood structure);
-    pearson ranks by L2 too (matching its quantizer fit space — the
-    correlation epilogue applies exactly on the probed candidates)."""
-    if metric in BINARY_PROBE_METRICS or metric == MetricKind.Pearson:
-        return MetricKind.L2sq
-    return metric
+    pearson and the generic tail (haversine/divergence/jaccard-sketch/UDF)
+    rank by L2 too, matching their quantizer fit space — each metric's own
+    epilogue applies exactly on the probed candidates."""
+    if metric in (MetricKind.IP, MetricKind.Cos, MetricKind.L2sq):
+        return metric
+    return MetricKind.L2sq
 
 
 def _probe_dot(kind, qc, rows, bdims):
@@ -1419,7 +1487,7 @@ def _ivf_probe_search_dense_pallas(
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 9, 10, 11, 12, 13))
+@functools.partial(jax.jit, static_argnums=(0, 1, 9, 10, 11, 12, 13, 14))
 def _ivf_probe_search_dense(
     metric: MetricKind,
     kind: ScalarKind,
@@ -1435,6 +1503,7 @@ def _ivf_probe_search_dense(
     nprobe: int,
     p_win: int,       # static max partition length (probe window)
     block: int,       # gather-block rows
+    metric_fn=None,
 ):
     """Dense-layout probe: partition ci lives at table rows
     [starts[ci], starts[ci]+lens[ci]) — no padding gaps, so the IVF costs NO
@@ -1447,7 +1516,7 @@ def _ivf_probe_search_dense(
     cap2 = table.shape[0]
     nb = cap2 // block
     q_stats = row_stats(q, kind)
-    qf = _query_f32(kind, q)
+    qf = _query_f32(kind, q, metric)
 
     cdist = _score_centroids(_centroid_metric(metric), qf, centroids, lens)
     _, probes = jax.lax.top_k(-cdist, nprobe)  # [Q, nprobe]
@@ -1461,6 +1530,11 @@ def _ivf_probe_search_dense(
     r = nblk * block  # gathered rows per probe
 
     row_bytes = table.shape[-1] * table.dtype.itemsize + 12
+    if metric == MetricKind.Jaccard:
+        # membership comparison broadcasts [chunk, X, Wq, Wt] bools
+        row_bytes *= max(table.shape[-1], 1)
+    elif metric_fn is not None or metric in GENERIC_PROBE_METRICS:
+        row_bytes *= 8  # broadcast f32 intermediates
     budget = 128 * 1024 * 1024
     chunk = int(np.clip(budget // max(nprobe * r * row_bytes, 1), 8, _QUERY_CHUNK))
     chunk = min(chunk, n_q)
@@ -1479,7 +1553,7 @@ def _ivf_probe_search_dense(
         qc, qsc, prc = args
         return _dense_probe_core(
             metric, kind, qc, qsc, prc, starts, lens, vblk, tblk, sblk,
-            cap2, block, nblk, k, ndim,
+            cap2, block, nblk, k, ndim, metric_fn,
         )
 
     d_all, i_all = jax.lax.map(one_chunk, (q_c, qs_c, pr_c))

@@ -233,6 +233,65 @@ def tile_dists(
     return dot_metric_dists(metric, dots, q_stats, tile_stats, ndim)
 
 
+def gathered_dists(
+    metric: MetricKind,
+    kind: ScalarKind,
+    qc: jnp.ndarray,
+    rows: jnp.ndarray,
+    ndim: int,
+    metric_fn=None,
+) -> jnp.ndarray:
+    """Distances of each query against ITS OWN gathered candidate rows:
+    ``qc [Q, D]`` vs ``rows [Q, X, D]`` → ``[Q, X]`` f32.
+
+    The probe-path epilogue for metrics with no dot decomposition
+    (haversine, JS divergence, sorted-set jaccard) and for user-defined
+    traceable metrics — the sub-linear serving the reference gets from its
+    metric-generic HNSW traversal (index.hpp:1936 serves any
+    metric_punned_t, including UDFs; set-vector HNSW: cpp/test.cpp:909)."""
+    if metric_fn is not None:
+        qf = qc.astype(jnp.float32)
+        rf = rows.astype(jnp.float32)
+        return jax.vmap(
+            lambda q1, rs: jax.vmap(lambda r1: metric_fn(q1, r1))(rs)
+        )(qf, rf).astype(jnp.float32)
+    if metric == MetricKind.Haversine:
+        q = qc.astype(jnp.float32)
+        t = rows.astype(jnp.float32)
+        deg2rad = jnp.float32(np.pi / 180.0)
+        lat_q, lon_q = q[:, 0][:, None], q[:, 1][:, None]
+        lat_t, lon_t = t[..., 0], t[..., 1]
+        dlat = (lat_t - lat_q) * deg2rad / 2.0
+        dlon = (lon_t - lon_q) * deg2rad / 2.0
+        x = (
+            jnp.sin(dlat) ** 2
+            + jnp.cos(lat_q * deg2rad) * jnp.cos(lat_t * deg2rad) * jnp.sin(dlon) ** 2
+        )
+        return 2.0 * jnp.arcsin(jnp.sqrt(jnp.clip(x, 0.0, 1.0)))
+    if metric == MetricKind.Divergence:
+        p = qc.astype(jnp.float32)[:, None, :]
+        r = rows.astype(jnp.float32)
+        m = (p + r) / 2.0 + _F32_EPS
+        kld_pm = jnp.sum(p * jnp.log((p + _F32_EPS) / m), axis=-1)
+        kld_qm = jnp.sum(r * jnp.log((r + _F32_EPS) / m), axis=-1)
+        return (kld_pm + kld_qm) / 2.0
+    if metric == MetricKind.Jaccard:
+        q = qc.astype(jnp.int32)
+        t = rows.astype(jnp.int32)
+        q_valid = q != -1
+        t_valid = t != -1
+        len_q = jnp.sum(q_valid, axis=-1).astype(jnp.float32)  # [Q]
+        len_t = jnp.sum(t_valid, axis=-1).astype(jnp.float32)  # [Q, X]
+        eq = (q[:, None, :, None] == t[:, :, None, :])
+        eq &= q_valid[:, None, :, None] & t_valid[:, :, None, :]
+        inter = jnp.sum(jnp.any(eq, axis=-1), axis=-1).astype(jnp.float32)
+        union = len_q[:, None] + len_t - inter
+        return jnp.where(
+            union == 0.0, 0.0, 1.0 - inter / jnp.where(union == 0.0, 1.0, union)
+        )
+    raise ValueError(f"No gathered-candidate epilogue for metric: {metric}")
+
+
 def pair_dists(
     metric: MetricKind,
     kind: ScalarKind,

@@ -468,7 +468,11 @@ def _make_binned_t_kernel(
     def kernel(q_ref, q_aux_ref, tile_ref, t_aux_ref, out_v_ref, out_i_ref):
         ti = pl.program_id(1)
         qt = q_ref.shape[0]
-        if compute_bf16 and q_ref.dtype == jnp.int8:
+        if compute_bf16 and q_ref.dtype != jnp.bfloat16:
+            # candidate generation at bf16 MXU rate for i8 AND f32/f16
+            # storage: a full-precision f32 dot runs the MXU in multi-pass
+            # mode (~3-8x slower); the bf16 cast costs one VPU pass per tile
+            # and the compact path re-scores the k winners exactly in f32
             lhs, rhs, acc = (
                 tile_ref[:].astype(jnp.bfloat16),
                 q_ref[:].astype(jnp.bfloat16),
@@ -526,7 +530,7 @@ def _rescore_exact(metric, q, q_aux, table, stats, valid, ids):
     return jnp.take_along_axis(d, order, axis=1), jnp.take_along_axis(ids, order, axis=1)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9, 10, 11, 12))
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9, 10, 11, 12, 13))
 def pallas_search_binned(
     metric: MetricKind,
     q: jnp.ndarray,
@@ -541,11 +545,13 @@ def pallas_search_binned(
     transposed: bool = False,
     compute_bf16: bool = False,
     compact: bool = False,
+    oversample: int = 4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused scan, merge-free variant: the kernel emits per-bin minima
     [Q, N/128] (128× smaller than the score matrix) and one `approx_min_k`
     outside selects the global top-k. Same binned-approximation contract as
-    `lax.approx_min_k`."""
+    `lax.approx_min_k`. ``oversample`` (compact mode only) selects that
+    multiple of k candidates for the exact rescore."""
     n, d_width = table.shape
     n_q = q.shape[0]
     assert n % t_tile == 0 and n_q % q_tile == 0
@@ -598,13 +604,20 @@ def pallas_search_binned(
     )(q, q_aux, table, t_aux)
 
     if compact:
-        # bin position IS the candidate's bin id: id = bin*128 + within
-        _, sel = jax.lax.approx_min_k(out_v.T, k)  # bf16 in, no f32 copy
+        # OVERSAMPLE the candidate pool before the exact rescore: bf16 bin
+        # minima can misrank candidates whose true distances differ by less
+        # than bf16's resolution, and bins collide at rate ~C(k,2)·128/N —
+        # selecting 4k bins and keeping the exact-rescored top k recovers
+        # both losses for a ~Q·3k·row gather (≪ one table read)
+        kk = min(max(oversample, 1) * k, 4 * _LANES, total_bins)
+        _, sel = jax.lax.approx_min_k(out_v.T, kk)  # bf16 in, no f32 copy
         sel = sel.astype(jnp.int32)
         within = jnp.take_along_axis(out_i.T.astype(jnp.int32), sel, axis=1)
         ids = sel * _LANES + within
         d_out, i_out = _rescore_exact(metric, q, q_aux, table, stats, valid, ids)
-        return d_out, jnp.where(d_out >= MASKED / 2, -1, i_out)
+        return d_out[:, :k], jnp.where(
+            d_out[:, :k] >= MASKED / 2, -1, i_out[:, :k]
+        )
 
     d_sel, sel = jax.lax.approx_min_k(out_v.T, k)
     i_sel = jnp.take_along_axis(out_i.T, sel.astype(jnp.int32), axis=1)
