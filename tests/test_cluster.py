@@ -624,25 +624,27 @@ def test_ivf_fresh_survives_reserve_growth(rng):
     np.testing.assert_array_equal(m2.keys[:, 0], np.arange(n, n + 8))
 
 
-def test_ivf_refuses_unsupported_metric(rng):
-    """optimize() serves ip/cos/l2sq and the packed-bit binary metrics —
-    statistical metrics (pearson/haversine/divergence) must be refused
-    instead of silently scoring through a wrong epilogue; exact search
-    still works for them."""
+def test_ivf_serves_metric_tail(rng):
+    """optimize() now builds for EVERY accepted metric (r5): statistical
+    metrics (divergence/haversine) probe through the gathered-candidate
+    epilogue instead of being refused — and the probed answers carry the
+    TRUE metric's values (tests/test_metric_tail.py covers recall)."""
     ix = Index(ndim=64, metric="divergence", dtype="f32")
     pts = rng.random((64, 64)).astype(np.float32)
     pts /= pts.sum(axis=1, keepdims=True)  # divergence expects distributions
     ix.add(np.arange(64, dtype=np.uint64), pts)
-    with pytest.raises(ValueError, match="ip/cos/l2sq"):
-        ix.optimize(n_partitions=8)
+    ix.optimize(n_partitions=8)
+    assert ix._ivf_serveable()
     m = ix.search(pts[:4], 1)
     np.testing.assert_array_equal(m.keys[:, 0], np.arange(4))
-    # metric change AFTER a build must also drop the probe path
+    # metric change AFTER a build keeps serving (probe epilogues follow the
+    # live metric kind; the quantizer's L2 ranking stays a valid candidate
+    # generator for the dot family)
     ix2 = Index(ndim=16, metric="ip", dtype="f32")
     pts = rng.random((256, 16)).astype(np.float32)
     pts /= np.linalg.norm(pts, axis=1, keepdims=True)
     ix2.add(np.arange(256, dtype=np.uint64), pts)
     ix2.optimize(n_partitions=8)
     ix2.metric = "pearson"
-    m2 = ix2.search(pts[:4], 1)  # exact scan serves; no wrong-metric probe
+    m2 = ix2.search(pts[:4], 1)
     np.testing.assert_array_equal(m2.keys[:, 0], np.arange(4))

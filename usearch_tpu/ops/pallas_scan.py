@@ -472,12 +472,15 @@ def _make_binned_t_kernel(
             # candidate generation at bf16 MXU rate for i8 AND f32/f16
             # storage: a full-precision f32 dot runs the MXU in multi-pass
             # mode (~3-8x slower); the bf16 cast costs one VPU pass per tile
-            # and the compact path re-scores the k winners exactly in f32
-            lhs, rhs, acc = (
-                tile_ref[:].astype(jnp.bfloat16),
-                q_ref[:].astype(jnp.bfloat16),
-                jnp.float32,
-            )
+            # and the compact path re-scores the k winners exactly in f32.
+            # f16 needs a two-step cast: Mosaic has no direct f16->bf16
+            # (and no f16 matmul at all on this backend).
+            def _bf16(x):
+                if x.dtype == jnp.float16:
+                    return x.astype(jnp.float32).astype(jnp.bfloat16)
+                return x.astype(jnp.bfloat16)
+
+            lhs, rhs, acc = _bf16(tile_ref[:]), _bf16(q_ref[:]), jnp.float32
         else:
             lhs, rhs = tile_ref[:], q_ref[:]
             acc = jnp.int32 if q_ref.dtype == jnp.int8 else jnp.float32
@@ -635,9 +638,12 @@ def _make_binned_t_min_kernel(metric: MetricKind, t_tile: int):
     def kernel(q_ref, q_aux_ref, tile_ref, t_aux_ref, out_v_ref):
         qt = q_ref.shape[0]
         acc = jnp.int32 if q_ref.dtype == jnp.int8 else jnp.float32
+        lhs, rhs = tile_ref[:], q_ref[:]
+        if lhs.dtype == jnp.float16:  # Mosaic has no f16 matmul: widen
+            lhs, rhs = lhs.astype(jnp.float32), rhs.astype(jnp.float32)
         dots = jax.lax.dot_general(
-            tile_ref[:],
-            q_ref[:],
+            lhs,
+            rhs,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=acc,
         )  # [t_tile, qt]
@@ -823,9 +829,12 @@ def pallas_search_exact(
 
 
 def supports(metric: MetricKind, kind: ScalarKind) -> bool:
+    # F16 is excluded: Mosaic on this backend has no f16 matmul, no
+    # f16->bf16 cast, and even f32-widened f16 loads fail the TPU compile
+    # (probed 3 ways, scripts logs /tmp/f16retry); f16 tables serve through
+    # the XLA scan path, which lowers f16 fine.
     return metric in (MetricKind.IP, MetricKind.Cos, MetricKind.L2sq) and kind in (
         ScalarKind.BF16,
         ScalarKind.F32,
-        ScalarKind.F16,
         ScalarKind.I8,
     )
