@@ -92,16 +92,30 @@ def run_cfg(n, d, q, nprobe, c, timeout=900):
 
 def main():
     d = 128
-    # axis 1: Q sweep on a small table (1M rows, offsets << 2^31)
-    for q in (8192, 12288, 16384):
-        run_cfg(1_000_000 - (1_000_000 % 1024), d, q, 64, 1024)
-    # axis 2: nprobe sweep at Q=16384 (same pair counts via other factor)
-    for nprobe in (32, 128):
-        run_cfg(1_000_000 - (1_000_000 % 1024), d, 16384, nprobe, 1024)
-    # axis 3: table-size boundary at the faulting (Q, nprobe)
-    for n in (12_000_000, 24_000_000):
-        n -= n % 4096
-        run_cfg(n, d, 16384, 64, 4096)
+    stage = os.environ.get("QB_STAGE", "1")
+    if stage == "1":
+        # axis 1: Q sweep on a small table (1M rows, offsets << 2^31)
+        for q in (8192, 12288, 16384):
+            run_cfg(1_000_000 - (1_000_000 % 1024), d, q, 64, 1024)
+        # axis 2: nprobe sweep at Q=16384 (same pair counts via other factor)
+        for nprobe in (32, 128):
+            run_cfg(1_000_000 - (1_000_000 % 1024), d, 16384, nprobe, 1024)
+        # axis 3: table-size boundary at the faulting (Q, nprobe)
+        for n in (12_000_000, 24_000_000):
+            n -= n % 4096
+            run_cfg(n, d, 16384, 64, 4096)
+    else:
+        # stage 2 (all stage-1 configs PASSED): close in on the real 100M
+        # shape — C=65536 coarse cells and multi-GiB tables at the
+        # production rows-per-partition (~1465, w_pad 1664)
+        for n, c in (
+            (24_000_000, 65_536),   # C axis alone (rows_per 366)
+            (24_000_000, 16_384),   # production rows_per at 3 GiB
+            (48_000_000, 32_768),   # production rows_per at 6.1 GiB
+            (96_000_000, 65_536),   # the full-scale analog, no spill
+        ):
+            n -= n % c
+            run_cfg(n, d, 16384, 64, c, timeout=1500)
 
 
 if __name__ == "__main__":

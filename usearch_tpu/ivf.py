@@ -65,13 +65,16 @@ _BIN_LIVE_FLOOR = 0.5
 #: supported fold-free path.
 _BIN_BW = int(_os.environ.get("USEARCH_TPU_BIN_BW", "32"))
 _BIN_KEEP = int(_os.environ.get("USEARCH_TPU_BIN_KEEP", "4"))
-#: query-axis chunk cap for the Pallas probe kernels: a Q=16384 launch at
-#: 100M scale killed the TPU worker outright (kernel fault, r3) where
-#: Q=8192 serves reliably — instead of crashing, bigger batches split into
-#: sequential kernel launches of this size (window sharing is per launch,
-#: so per-launch QPS matches the capped batch). Raise experimentally via
-#: the env knob when chasing more cross-query sharing.
-_PROBE_QCHUNK = int(_os.environ.get("USEARCH_TPU_PROBE_QCHUNK", "8192"))
+#: query-axis chunk cap for the Pallas probe kernels. The r3/r4 "Q=16384
+#: launch at 100M kills the TPU worker" was ROOT-CAUSED in r5 (bisection:
+#: scripts/tpu_qfault_bisect.py): not a kernel fault but HBM exhaustion
+#: from the coarse probe selection's full [Q, C] f32 score matrix (4.3 GB
+#: at Q=16384 x C=65536, on top of a 12.3 GB table). `_probe_select` now
+#: bounds that surface to [2048, C] chunks, and Q=16384 single launches
+#: serve at 96M x C=65536 (bisect PASS). The cap stays as a generic
+#: batch-splitting valve (window sharing is per launch, so per-launch QPS
+#: matches the capped batch); override via the env knob.
+_PROBE_QCHUNK = int(_os.environ.get("USEARCH_TPU_PROBE_QCHUNK", "16384"))
 #: grouped-kernel DMA ring depth: window fetches in flight. 2 = classic
 #: double buffering; deeper rings help SPARSE probe densities
 #: (Q*nprobe/C < 1) where consecutive windows stop being adjacent in HBM
@@ -824,11 +827,10 @@ def _ivf_probe_search(
 
     # empty partitions (all entries invalid/pad) rank last so probe slots
     # are never spent gathering fully-masked blocks
-    cdist = _score_centroids(
+    probes = _probe_select(
         _centroid_metric(metric), qf, centroids,
-        jnp.sum(part_valid, axis=1, dtype=jnp.int32),
-    )
-    _, probes = jax.lax.top_k(-cdist, nprobe)  # [Q, nprobe]
+        jnp.sum(part_valid, axis=1, dtype=jnp.int32), nprobe,
+    )  # [Q, nprobe]
 
     # chunk size bounded so the gathered [chunk, nprobe*P, D] tensor stays
     # within a fixed HBM budget
@@ -1094,6 +1096,32 @@ def _score_centroids(metric, qf, centroids, lens=None):
     return cdist
 
 
+#: query-chunk for the coarse probe selection: bounds the [chunk, C] score
+#: matrix. The full [Q, C] surface was THE r3/r4 "Q=16384 fault" — at
+#: Q=16384 x C=65536 it is 4.3 GB of f32 (plus top_k temporaries) on top of
+#: a 12.3 GB table, and the launch died with RESOURCE_EXHAUSTED (bisected
+#: in scripts/tpu_qfault_bisect.py: pair count, nprobe, grid and the 2^31
+#: table-byte boundary all pass; the fault follows Q x C x table-residency).
+_COARSE_QCHUNK = 2048
+
+
+def _probe_select(metric, qf, centroids, lens, nprobe):
+    """Top-``nprobe`` partitions per query with the [*, C] score surface
+    bounded to ``_COARSE_QCHUNK`` queries at a time."""
+    n_q = qf.shape[0]
+    chunk = _COARSE_QCHUNK
+    if n_q <= chunk:
+        return jax.lax.top_k(-_score_centroids(metric, qf, centroids, lens), nprobe)[1]
+    pad = (-n_q) % chunk
+    qp = jnp.concatenate([qf, qf[:pad]]) if pad else qf
+
+    def one(qc):
+        return jax.lax.top_k(-_score_centroids(metric, qc, centroids, lens), nprobe)[1]
+
+    probes = jax.lax.map(one, qp.reshape(-1, chunk, qf.shape[1]))
+    return probes.reshape(-1, nprobe)[:n_q]
+
+
 def _binned_pairs(q, probes, starts, lens, cap2, w_pad, nprobe, g):
     """Shared (query, probe)-pair construction for the grouped kernels:
     pairs sorted by partition so a cell's distinct windows are DMA'd once;
@@ -1164,8 +1192,7 @@ def _ivf_probe_search_dense_nofold(
     n_q, d_w = q.shape
     cap2 = table.shape[0]
     qf = _query_f32(kind, q)
-    cdist = _score_centroids(_centroid_metric(metric), qf, centroids, lens)
-    _, probes = jax.lax.top_k(-cdist, nprobe)              # [Q, nprobe]
+    probes = _probe_select(_centroid_metric(metric), qf, centroids, lens, nprobe)
 
     q_g, qid_s, widx, meta, order, p0, p_total = _binned_pairs(
         q, probes, starts, lens, cap2, w_pad, nprobe, g
@@ -1240,8 +1267,7 @@ def _ivf_probe_search_dense_binned(
     n_q, d_w = q.shape
     cap2 = table.shape[0]
     qf = _query_f32(kind, q)
-    cdist = _score_centroids(_centroid_metric(metric), qf, centroids, lens)
-    _, probes = jax.lax.top_k(-cdist, nprobe)              # [Q, nprobe]
+    probes = _probe_select(_centroid_metric(metric), qf, centroids, lens, nprobe)
 
     q_g, qid_s, widx, meta, order, p0, p_total = _binned_pairs(
         q, probes, starts, lens, cap2, w_pad, nprobe, g
@@ -1348,8 +1374,7 @@ def _ivf_probe_search_dense_grouped(
     cap2 = table.shape[0]
     c = centroids.shape[0]
     qf = _query_f32(kind, q)
-    cdist = _score_centroids(_centroid_metric(metric), qf, centroids, lens)
-    _, probes = jax.lax.top_k(-cdist, nprobe)              # [Q, nprobe]
+    probes = _probe_select(_centroid_metric(metric), qf, centroids, lens, nprobe)
 
     p0 = n_q * nprobe
     p_total = ((p0 + g - 1) // g) * g
@@ -1445,8 +1470,7 @@ def _ivf_probe_search_dense_pallas(
 
     cap2 = table.shape[0]
     qf = _query_f32(kind, q)
-    cdist = _score_centroids(_centroid_metric(metric), qf, centroids, lens)  # empties rank last
-    _, probes = jax.lax.top_k(-cdist, nprobe)              # [Q, nprobe]
+    probes = _probe_select(_centroid_metric(metric), qf, centroids, lens, nprobe)  # empties rank last
     st = starts[probes]
     ln = lens[probes]
     # DMA starts must be 128-row aligned: Mosaic requires dynamic slice
@@ -1518,8 +1542,7 @@ def _ivf_probe_search_dense(
     q_stats = row_stats(q, kind)
     qf = _query_f32(kind, q, metric)
 
-    cdist = _score_centroids(_centroid_metric(metric), qf, centroids, lens)
-    _, probes = jax.lax.top_k(-cdist, nprobe)  # [Q, nprobe]
+    probes = _probe_select(_centroid_metric(metric), qf, centroids, lens, nprobe)
 
     tblk = table.reshape(nb, block, -1)
     vblk = valid.reshape(nb, block)  # block-gathered with the rows (see core)
