@@ -343,7 +343,16 @@ def main():
         )[1]
 
     def exact(q, approx=False, k=K):
-        return exact_fn(q, table, stats, valid, approx, k)
+        # GT runs in 8192-query chunks: the scan's per-step [Q, tile] score
+        # transient hits 4.3 GB at Q=16384 (the probe kernels need big Q
+        # for window sharing; the exact GT does not)
+        n = int(q.shape[0])
+        if n <= 8192:
+            return exact_fn(q, table, stats, valid, approx, k)
+        return jnp.concatenate([
+            exact_fn(q[o : o + 8192], table, stats, valid, approx, k)
+            for o in range(0, n, 8192)
+        ])
 
     # GT cache: deterministic in (N, SIGMA, Q, K, fixed seeds). On a hit the
     # exact/approx/pallas scans are skipped entirely (their QPS is already
@@ -623,6 +632,25 @@ def main():
                 f"latency Q={q_small} nprobe={nprobe} [{impl}]: "
                 f"p50={p50:.1f} ms p90={p90:.1f} ms, pipelined "
                 f"{pipe_dt*1000:.1f} ms/dispatch = {q_small/pipe_dt:.0f} QPS"
+            )
+        # coalesced online serving: the RPC micro-batcher concatenates up
+        # to 64 queued Q=1 requests into ONE batch dispatch (rpc._Handler);
+        # this measures exactly that program at the flagship config — the
+        # amortized per-request cost a Q=1 request stream sees through the
+        # micro-batcher (BENCH_SERVING's 10M row, now at 100M)
+        for coal in (64, 128):
+            cq = [gen_queries(900 + i, coal) for i in range(6)]
+            for x in cq:
+                x.block_until_ready()
+            _ = np.asarray(ivf_l(cq[0]))
+            t1 = time.perf_counter()
+            for x in cq[1:5]:
+                _ = np.asarray(ivf_l(x))
+            dt = (time.perf_counter() - t1) / 4
+            log(
+                f"coalesced micro-batch Q={coal} nprobe={nprobe} [{impl}]: "
+                f"{dt*1000:.1f} ms/dispatch = {coal/dt:.0f} QPS amortized "
+                f"({dt/coal*1000:.2f} ms/request)"
             )
 
     log("SUMMARY 100M x 96d i8, C=%d chunks=%d spill=%.2f" % (ncent, len(starts), SPILL))
