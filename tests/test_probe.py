@@ -304,6 +304,50 @@ def test_binary_ivf_recall(metric, reorder, rng):
     )
 
 
+@pytest.mark.parametrize("metric", ["tanimoto", "sorensen"])
+def test_binary_rerank_kernel_path(metric, rng):
+    """Tanimoto/sorensen on the Pallas window kernel: hamming-selected
+    candidates re-ranked exactly via the popcount identity
+    and = (pop_q + pop_t - hamming)/2 (ivf._ivf_probe_search_dense_binary).
+    Pins: the path actually dispatches, recall vs the exact scan, and
+    bit-exact distances for the returned ids (the identity is algebra,
+    not an approximation)."""
+    n, nbits = 4096, 256
+    templates = rng.integers(0, 2, (16, nbits), dtype=np.uint8)
+    bits = templates[rng.integers(0, 16, n)] ^ (rng.random((n, nbits)) < 0.1)
+    packed = np.packbits(bits, axis=1)
+
+    calls = []
+    orig = iv._ivf_probe_search_dense_binary
+    iv._ivf_probe_search_dense_binary = (
+        lambda *a, **kw: (calls.append(1), orig(*a, **kw))[1]
+    )
+    exact.set_kernel_backend("pallas")
+    try:
+        ix = ut.Index(ndim=nbits, metric=metric, dtype="b1",
+                      expansion_search=256)
+        ix.add(np.arange(n, dtype=np.uint64), packed)
+        q = packed[:48]
+        gt = ix.search(q, 10, exact=True)
+        ix.optimize(n_partitions=32, reorder=True)
+        m = ix.search(q, 10)
+    finally:
+        exact.set_kernel_backend("auto")
+        iv._ivf_probe_search_dense_binary = orig
+    assert calls, "binary rerank path did not dispatch"
+    gk, mk = np.asarray(gt.keys), np.asarray(m.keys)
+    rec = _recall(mk, gk, 10)
+    assert rec >= 0.9, (metric, rec)
+    # distances are the TRUE metric: cross-check against pairwise_distance
+    md = np.asarray(m.distances)
+    for qi in range(0, 48, 11):
+        live = mk[qi][mk[qi] != np.iinfo(np.uint64).max]
+        want = ix.pairwise_distance(
+            np.full(len(live), qi, np.uint64), live
+        )
+        np.testing.assert_allclose(md[qi][: len(live)], want, atol=1e-5)
+
+
 def test_binary_ivf_deletions(rng):
     n, nbits = 2048, 128
     bits = rng.integers(0, 2, (n, nbits), dtype=np.uint8)

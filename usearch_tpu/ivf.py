@@ -584,14 +584,17 @@ class IVFPartitions:
         # the grouped kernels pad their (query, probe) pair list to a lane
         # multiple internally, so ANY query count rides them (single-query
         # serving included); only the per-query pair kernel needs Q % 8 == 0.
-        # b1/hamming rides the kernels too: the in-kernel bit-plane dot
-        # (pallas_probe._win_dots) makes hamming exactly the L2sq rank form
-        # over popcount stats; tanimoto/sorensen (non-affine in the
-        # per-lane constants) stay on the XLA probe.
+        # b1 binary metrics ride the kernels too: the in-kernel bit-plane
+        # dot (pallas_probe._win_dots) makes hamming exactly the L2sq rank
+        # form over popcount stats; tanimoto/sorensen (non-affine in the
+        # per-lane constants) SELECT by hamming in-kernel and re-rank
+        # exactly outside via the popcount identity
+        # (_ivf_probe_search_dense_binary).
         kernel_metric_ok = pallas_scan.supports(
             index._metric_kind, index._dtype
         ) or (
-            index._metric_kind == MetricKind.Hamming
+            index._metric_kind
+            in (MetricKind.Hamming, MetricKind.Tanimoto, MetricKind.Sorensen)
             and index._dtype == ScalarKind.B1
         )
         return (
@@ -740,6 +743,9 @@ class IVFPartitions:
                 nprobe,
                 w_pad,
             )
+            if index._metric_kind in (MetricKind.Tanimoto, MetricKind.Sorensen):
+                # hamming-selected, exactly re-ranked (popcount identity)
+                return _ivf_probe_search_dense_binary(*args)
             if _PROBE_MODE == "pair":
                 return _ivf_probe_search_dense_pallas(*args)
             if _PROBE_MODE == "bin" and self._binned_ok(
@@ -1226,6 +1232,99 @@ def _ivf_probe_search_dense_nofold(
     wi = jnp.take_along_axis(pi, ws, axis=1)
     inv = jnp.argsort(order)
     r_d = wd[inv[:p0]].reshape(n_q, nprobe * t)
+    r_i = wi[inv[:p0]].reshape(n_q, nprobe * t)
+    d_out, ids = _staged_topk(r_d, r_i, k)
+    return d_out, jnp.where(d_out >= MASKED / 2, -1, ids)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 9, 10, 11, 12, 13))
+def _ivf_probe_search_dense_binary(
+    metric: MetricKind,
+    kind: ScalarKind,
+    q,                # [Q, W] packed uint8 rows
+    valid,            # [cap2] bool
+    centroids,        # [C, D] f32 (unpacked bit space)
+    table,            # [cap2, W] uint8 dense cluster-major
+    stats,            # [cap2, 2] f32 — col 0 carries POPCOUNTS for b1
+    starts,           # [C] i32
+    lens,             # [C] i32
+    k: int,
+    nprobe: int,
+    w_pad: int,
+    g: int = 128,
+    bin_m: int = 8,
+):
+    """Tanimoto/sorensen over packed-bit tables via the grouped Pallas
+    window kernel: candidates are SELECTED by hamming (the kernel's
+    L2sq-rank-form-over-popcount path — in-kernel bit-plane and-counts,
+    pallas_probe._win_dots) and re-ranked EXACTLY outside through the
+    popcount identity ``and = (pop(q) + pop(t) - hamming) / 2`` — the
+    intersection count is recoverable from the kernel's hamming output
+    plus the stats row, so the true metric costs one [Q, kk] stats gather
+    and NO candidate row fetch. The re-rank happens per-window BEFORE any
+    cross-window merge, so the only hamming-ordered selection is the
+    kernel's top-``bin_m``-per-128-row-bin extract — hamming values are
+    small integers with pervasive ties that tanimoto breaks differently,
+    which is why ``bin_m`` defaults to 8 here (4 → 0.85 recall@10, 8 →
+    0.99 on the clustered test corpus). The reference serves these
+    metrics through the same graph walk it uses for hamming
+    (index_plugins.hpp:1420-1478, cpp/test.cpp:780)."""
+    from .ops.pallas_probe import pallas_ivf_probe_grouped_nofold
+
+    n_q, d_w = q.shape
+    cap2 = table.shape[0]
+    qf = _query_f32(kind, q)
+    probes = _probe_select(MetricKind.L2sq, qf, centroids, lens, nprobe)
+
+    q_g, qid_s, widx, meta, order, p0, p_total = _binned_pairs(
+        q, probes, starts, lens, cap2, w_pad, nprobe, g
+    )
+    q_sq = jnp.sum(qf * qf, axis=1)                        # == popcount(q)
+    q_aux_g = jnp.zeros((p_total, 8), jnp.float32)
+    q_aux_g = q_aux_g.at[:, 0].set(q_sq[qid_s])
+    q_aux_g = q_aux_g.at[:, 1].set(q_sq[qid_s])
+    q_aux_g = q_aux_g.at[:, 2].set(widx.reshape(-1).astype(jnp.float32))
+
+    penalty = jnp.where(valid, 0.0, MASKED).astype(jnp.float32)
+    t_aux = jnp.stack(
+        [stats[:, 0], stats[:, 1], penalty, jnp.zeros_like(penalty)], axis=0
+    )
+
+    pd, pi = pallas_ivf_probe_grouped_nofold(
+        MetricKind.Hamming, q_g, q_aux_g, table, t_aux, meta, w_pad, g, bin_m,
+        jax.default_backend() == "cpu",
+    )
+
+    # per-window top-t by hamming (the only place selection order matters:
+    # within one window's candidates), then re-rank those t to the TRUE
+    # metric via the popcount identity BEFORE any cross-window merge — the
+    # merges run on final metric values, so they lose nothing
+    out_pad = pd.shape[1]
+    t = min(max(2 * k, 24), out_pad)
+    wn, ws = jax.lax.top_k(-pd, t)                         # [P, t]
+    d_h = -wn                                              # hamming dists
+    wi = jnp.take_along_axis(pi, ws, axis=1)
+
+    safe = jnp.clip(wi, 0, cap2 - 1)
+    pop_t = stats[safe, 0]                                 # [P, t]
+    pop_q = q_sq[qid_s][:, None]                           # [P, 1] pair query
+    and_ = jnp.maximum((pop_q + pop_t - d_h) * 0.5, 0.0)
+    if metric == MetricKind.Tanimoto:
+        union = pop_q + pop_t - and_
+        dt = jnp.where(
+            union == 0.0, 0.0, 1.0 - and_ / jnp.where(union == 0.0, 1.0, union)
+        )
+    elif metric == MetricKind.Sorensen:
+        den = pop_q + pop_t
+        dt = jnp.where(
+            den == 0.0, 0.0, 1.0 - 2.0 * and_ / jnp.where(den == 0.0, 1.0, den)
+        )
+    else:
+        raise ValueError(f"binary rerank serves tanimoto/sorensen, got {metric}")
+    dt = jnp.where((wi >= 0) & (d_h < MASKED / 2), dt, MASKED)
+
+    inv = jnp.argsort(order)
+    r_d = dt[inv[:p0]].reshape(n_q, nprobe * t)            # true metric
     r_i = wi[inv[:p0]].reshape(n_q, nprobe * t)
     d_out, ids = _staged_topk(r_d, r_i, k)
     return d_out, jnp.where(d_out >= MASKED / 2, -1, ids)
