@@ -79,6 +79,8 @@ FLAVORS = [
     ("probe-bin/ip/i8",    "bin",          "ip",   "i8",  256, {"USEARCH_TPU_PROBE": "bin"}),
     ("probe-pair/l2/f32",  "pair",         "l2sq", "f32", 96,  {"USEARCH_TPU_PROBE": "pair"}),
     ("probe-xla/hamming/b1","xla-b1",      "hamming", "b1", 256, {}),
+    # tanimoto: hamming-selected in-kernel, exact popcount-identity rerank
+    ("probe-rerank/tanimoto/b1","rerank-b1","tanimoto", "b1", 256, {}),
 ]
 
 
