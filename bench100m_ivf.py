@@ -539,7 +539,8 @@ def main():
             def ivf(q):
                 return _ivf_probe_search_dense_grouped(
                     MetricKind.IP, ScalarKind.I8, q, valid, cents_dev, table, dummy,
-                    starts_dev, lens_dev, k_fetch, nprobe, w_pad,
+                    starts_dev, lens_dev, k_fetch, nprobe, w_pad, 128,
+                    True,  # fully-live bench table: auxless IP fast path
                 )[1]
 
         if impl != "xla":

@@ -12,6 +12,8 @@ a random i8 table so starts/lens are arange-built.  Run:  python
 scripts/tpu_probe_kernel_profile.py  (real chip, ~2-3 min)
 """
 import functools
+import os
+import sys
 import time
 
 import jax
@@ -25,7 +27,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from usearch_tpu.enums import MetricKind
@@ -47,8 +48,9 @@ table = jnp.asarray(rng.integers(-127, 128, (cap2, D), dtype=np.int8))
 t_aux = jnp.zeros((1, cap2), jnp.float32)      # IP: penalty row only
 starts = np.arange(C, dtype=np.int32) * clen
 
-def build_pairs(nprobe, seed):
+def build_pairs(nprobe, seed, g_eff=None):
     """Random probe lists, sorted by partition (what ivf.py feeds the kernel)."""
+    G = g_eff or globals()["G"]
     r = np.random.default_rng(seed)
     probes = np.stack([r.choice(C, nprobe, replace=False) for _ in range(Q)])
     p0 = Q * nprobe
@@ -112,17 +114,30 @@ for nprobe in (int(x) for x in os.environ.get("KP_NPROBES", "16,64").split(","))
     b, nw_b = build_pairs(nprobe, 2)
     dma_gb = nw_b * w_pad * D / 1e9
     for bin_m in (4,) if "v1" in IMPLS else ():
-        for k in (K,):
-            fn = functools.partial(
-                pallas_probe.pallas_ivf_probe_grouped,
-                MetricKind.IP, k=k, w_pad=w_pad, g=G, bin_m=bin_m,
-            )
-            dt = timeit(lambda qg, qa, m, tbl, taux: fn(
-                q_g=qg, q_aux_g=qa, meta=m, table=tbl, t_aux=taux), a, b)
+      for g_eff in (int(x) for x in os.environ.get("KP_GS", str(G)).split(",")):
+        a_g, nw_ag = (a, nw_a) if g_eff == G else build_pairs(nprobe, 1, g_eff)
+        b_g, nw_bg = (b, nw_b) if g_eff == G else build_pairs(nprobe, 2, g_eff)
+        for ns in (int(x) for x in os.environ.get("KP_RINGS", "2").split(",")):
+         for fe in (int(x) for x in os.environ.get("KP_FOLDS", "1").split(",")):
+          for wa in (int(x) for x in os.environ.get("KP_AUX", "1").split(",")):
+           for k in (int(x) for x in os.environ.get("KP_KS", str(K)).split(",")):
+            try:
+                fn = functools.partial(
+                    pallas_probe.pallas_ivf_probe_grouped,
+                    MetricKind.IP, k=k, w_pad=w_pad, g=g_eff, bin_m=bin_m,
+                    n_slots=ns, fold_every=fe, with_aux=bool(wa),
+                )
+                dt = timeit(lambda qg, qa, m, tbl, taux: fn(
+                    q_g=qg, q_aux_g=qa, meta=m, table=tbl, t_aux=taux), a_g, b_g)
+            except Exception as e:
+                print(f"v1 nprobe={nprobe:3d} g={g_eff} ring={ns} fe={fe} aux={wa} k={k:3d}: FAIL "
+                      + str(e).split(chr(10))[0][:110])
+                continue
             print(
-                f"v1 nprobe={nprobe:3d} bin_m={bin_m} k={k:3d}: {dt*1e3:8.1f} ms"
-                f"  ({dt/nw_b*1e6:6.2f} us/window, windows={nw_b},"
-                f" dma {dma_gb:.2f} GB -> {dma_gb/dt:.0f} GB/s eff)"
+                f"v1 nprobe={nprobe:3d} g={g_eff} ring={ns} fe={fe} aux={wa} bin_m={bin_m} k={k:3d}:"
+                f" {dt*1e3:8.1f} ms"
+                f"  ({dt/nw_bg*1e6:6.2f} us/window, windows={nw_bg},"
+                f" dma {nw_bg*w_pad*D/1e9/dt:.0f} GB/s eff)"
             )
     for ns in ((2, 4, 8) if "nofold" in IMPLS else ()):
         try:
@@ -141,7 +156,10 @@ for nprobe in (int(x) for x in os.environ.get("KP_NPROBES", "16,64").split(","))
             f"  ({dt/nw_b*1e6:6.2f} us/window,"
             f" dma {dma_gb:.2f} GB -> {dma_gb/dt:.0f} GB/s eff)"
         )
-    for sel, bw, keep in ((("dotonly", 32, 1), ("fminarg", 128, 4)) if "v2" in IMPLS else ()):
+    _v2cfg = os.environ.get("KP_V2", "dotonly:32:1,fminarg:128:4")
+    for sel, bw, keep in (
+        tuple((c.split(":")[0], int(c.split(":")[1]), int(c.split(":")[2]))
+              for c in _v2cfg.split(",")) if "v2" in IMPLS else ()):
         for wb in (1, 2):
             for ns in (2, 4):
                 try:

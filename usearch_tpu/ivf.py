@@ -80,6 +80,10 @@ _PROBE_QCHUNK = int(_os.environ.get("USEARCH_TPU_PROBE_QCHUNK", "16384"))
 #: (Q*nprobe/C < 1) where consecutive windows stop being adjacent in HBM
 #: and the fetch latency leaks into the critical path
 _PROBE_RING = int(_os.environ.get("USEARCH_TPU_PROBE_RING", "0"))  # 0 = adaptive
+#: grouped-kernel candidates kept per 128-row bin (0 = the adaptive default:
+#: 4 on wide probe surfaces, k on narrow ones). A/B knob for the in-kernel
+#: bin-extract cost / same-bin-collision recall trade.
+_GROUP_BINM = int(_os.environ.get("USEARCH_TPU_GROUP_BINM", "0"))
 #: in-kernel bin-select primitive: "pack" (i32 packed-key min) or
 #: "fminarg" (f32 min+argmin rounds, the v1 kernel's extract)
 _BIN_SEL = _os.environ.get("USEARCH_TPU_BIN_SEL", "pack")
@@ -775,7 +779,9 @@ class IVFPartitions:
             # at w_pad 4352 / bin_m 10).
             bin_m_eff = 4 if nprobe * (w_pad // 128) >= 8 * k else min(k, 16)
             if (bin_m_eff + 15) * w_pad * 512 <= 96 * 1024 * 1024:
-                return _ivf_probe_search_dense_grouped(*args)
+                return _ivf_probe_search_dense_grouped(
+                    *args, 128, self._live_frac(valid) >= 1.0
+                )
         return _ivf_probe_search_dense(
             index._metric_kind,
             index._dtype,
@@ -1471,7 +1477,7 @@ def _ivf_probe_search_dense_binned(
     return d_out, jnp.where(d_out >= MASKED / 2, -1, ids)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 9, 10, 11, 12))
+@functools.partial(jax.jit, static_argnums=(0, 1, 9, 10, 11, 12, 13))
 def _ivf_probe_search_dense_grouped(
     metric: MetricKind,
     kind: ScalarKind,
@@ -1486,6 +1492,7 @@ def _ivf_probe_search_dense_grouped(
     nprobe: int,
     w_pad: int,
     g: int = 128,
+    all_live: bool = False,
 ):
     """Partition-GROUPED probe through the Pallas DMA kernel: (query, probe)
     pairs are sorted by partition so queries probing the same partition
@@ -1501,46 +1508,14 @@ def _ivf_probe_search_dense_grouped(
 
     n_q, d_w = q.shape
     cap2 = table.shape[0]
-    c = centroids.shape[0]
     qf = _query_f32(kind, q)
     probes = _probe_select(_centroid_metric(metric), qf, centroids, lens, nprobe)
 
-    p0 = n_q * nprobe
-    p_total = ((p0 + g - 1) // g) * g
-    part = probes.reshape(-1)
-    qid = jnp.arange(p0, dtype=jnp.int32) // nprobe
-    if p_total > p0:
-        part = jnp.concatenate([part, jnp.full(p_total - p0, c, jnp.int32)])
-        qid = jnp.concatenate([qid, jnp.zeros(p_total - p0, jnp.int32)])
-    order = jnp.argsort(part)                              # pads (=c) sort last
-    part_s = part[order]
-    qid_s = qid[order]
-
-    q_g = q[qid_s]                                         # [P, D]
+    q_g, qid_s, widx, meta, order, p0, p_total = _binned_pairs(
+        q, probes, starts, lens, cap2, w_pad, nprobe, g
+    )
     q_sq = jnp.sum(qf * qf, axis=1)
     q_sum = jnp.sum(qf, axis=1)
-
-    starts_ext = jnp.concatenate([starts, jnp.zeros(1, starts.dtype)])
-    lens_ext = jnp.concatenate([lens, jnp.zeros(1, lens.dtype)])
-    st_raw = starts_ext[part_s].astype(jnp.int32)
-    ln = lens_ext[part_s].astype(jnp.int32)
-    st_c = jnp.minimum((st_raw // 128) * 128, cap2 - w_pad)
-    off = st_raw - st_c
-
-    cells = p_total // g
-    ps2 = part_s.reshape(cells, g)
-    prev = jnp.concatenate([jnp.full((cells, 1), -1, ps2.dtype), ps2[:, :-1]], axis=1)
-    flag = ps2 != prev                                     # window transitions
-    widx = jnp.cumsum(flag, axis=1) - 1                    # [cells, g] slot per pair
-    wcnt = jnp.sum(flag, axis=1, dtype=jnp.int32)
-    rows_idx = jnp.broadcast_to(jnp.arange(cells)[:, None], (cells, g))
-    # packed SMEM metadata [cells, 8, g]: rows 0 wst, 1 woff, 2 wlen, 3 wcnt
-    # (a (1, g) SMEM block violates the (8, 128) min-tile rule on TPU)
-    meta = jnp.zeros((cells, 8, g), jnp.int32)
-    meta = meta.at[rows_idx, 0, widx].set(st_c.reshape(cells, g))
-    meta = meta.at[rows_idx, 1, widx].set(off.reshape(cells, g))
-    meta = meta.at[rows_idx, 2, widx].set(ln.reshape(cells, g))
-    meta = meta.at[:, 3, :].set(wcnt[:, None])
     # q_aux widened to 8 lanes; the pair→window slot rides col 2 as f32
     q_aux_g = jnp.zeros((p_total, 8), jnp.float32)
     q_aux_g = q_aux_g.at[:, 0].set(q_sq[qid_s])
@@ -1555,24 +1530,30 @@ def _ivf_probe_search_dense_grouped(
             [stats[:, 0], stats[:, 1], penalty, jnp.zeros_like(penalty)], axis=0
         )
 
-    bin_m = 4 if nprobe * (w_pad // 128) >= 8 * k else k
+    bin_m = _GROUP_BINM or (4 if nprobe * (w_pad // 128) >= 8 * k else k)
     # adaptive DMA ring: at sparse probe densities (pairs/chunk < 1/2)
     # windows stop being back-to-back in HBM and deeper prefetch buys
     # ~20% (100M on-chip A/B at nprobe=2: 35.3k → 43.2k QPS at depth 8);
     # at dense coverage depth is neutral, so keep the lean ring
     n_chunks = int(lens.shape[0])
     ring = _PROBE_RING or (8 if n_q * nprobe * 2 < n_chunks else 2)
+    # IP over a fully-live mask skips the per-window aux DMA + penalty add
+    # (on-chip: 8.2 → 5.6 us/window at the 100M shape); the caller asserts
+    # liveness via `all_live` (a host-known fact, so it is a static arg)
+    auxless = all_live and metric == MetricKind.IP
     pd, pi = pallas_ivf_probe_grouped(
         metric, q_g, q_aux_g, table, t_aux, meta,
         k, w_pad, g, min(bin_m, 16),
-        jax.default_backend() == "cpu", ring,
+        jax.default_backend() == "cpu", ring, 1, not auxless,
     )
 
-    # scatter per-pair results back to (query, probe) order, reduce per query
-    r_d = jnp.full((p_total, k), MASKED, jnp.float32).at[order].set(pd)
-    r_i = jnp.full((p_total, k), -1, jnp.int32).at[order].set(pi)
-    r_d = r_d[:p0].reshape(n_q, nprobe * k)
-    r_i = r_i[:p0].reshape(n_q, nprobe * k)
+    # per-pair results back to (query, probe) order via the INVERSE
+    # permutation gather — two [P, k] scatters measured 160 ms at the
+    # flagship P=1.05M where argsort+gathers run in ~20 ms
+    # (scripts/tpu_merge_alternatives.py)
+    inv = jnp.argsort(order)
+    r_d = pd[inv[:p0]].reshape(n_q, nprobe * k)
+    r_i = pi[inv[:p0]].reshape(n_q, nprobe * k)
     d_out, ids = _staged_topk(r_d, r_i, k)
     return d_out, jnp.where(d_out >= MASKED / 2, -1, ids)
 

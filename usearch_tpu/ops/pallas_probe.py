@@ -264,7 +264,7 @@ def _make_probe_kernel(
 
 def _make_grouped_kernel(
     metric: MetricKind, k_pad: int, w_pad: int, g: int, bin_m: int,
-    n_slots: int = 2,
+    n_slots: int = 2, fold_every: int = 1, with_aux: bool = True,
 ):
     """Partition-grouped cell: G (query, partition) PAIRS sorted by
     partition; the cell's distinct windows are DMA'd and matmul'd ONCE
@@ -272,8 +272,27 @@ def _make_grouped_kernel(
     kernel's [W, D]×[D, 8] matvec left 15/16 of the MXU idle and measured
     5.8× off the DMA roofline). A pair's lane is live only during its own
     window (lane_widx == w), so the per-lane fold accumulates exactly that
-    pair's window candidates."""
+    pair's window candidates.
+
+    ``fold_every``: windows per running-fold invocation. The k_pad
+    min-extraction passes run over tiny [~100, g] surfaces whose cost is
+    per-PASS fixed overhead, not elements (on-chip: k=1 → k=10 adds only
+    ~0.5 us/window while the fold is ~2.5 of the 7.5 us total), so
+    batching F windows' bin candidates into one fold divides that cost by
+    ~F. Between folds candidates land in a [F·bin_m·nb_w, g] VMEM ring;
+    after each fold the ring resets to MASKED so a tail fold (w ==
+    n_win-1 mid-phase) cannot re-fold stale candidates into duplicates.
+    The ring stride rounds up to 8 sublanes — misaligned ref-slice stores
+    are pathologically slow on this Mosaic (see _make_binned_probe_kernel).
+
+    ``with_aux=False`` (IP over a fully-live table only): skips the
+    per-window aux DMA and the penalty add entirely — the aux row would be
+    all zeros, and the second DMA issue per window is pure overhead (the
+    aux-free dotonly diagnostic runs at 3.45 us/window where this kernel
+    measures ~7.5)."""
     nb_w = w_pad // _LANES
+    n_cand = bin_m * nb_w
+    n_cand_pad = ((n_cand + 7) // 8) * 8
 
     def kernel(
         meta_ref,    # [1, 8, g] i32 SMEM — rows: 0 wst, 1 woff, 2 wlen, 3 wcnt
@@ -287,6 +306,8 @@ def _make_grouped_kernel(
         abuf,        # [2, aux_rows, w_pad] VMEM f32 scratch
         acc_d,       # [k_pad, g] f32 scratch
         acc_i,       # [k_pad, g] i32 scratch
+        cbuf_d,      # [fold_every·n_cand, g] f32 scratch (fold ring)
+        cbuf_i,      # [fold_every·n_cand, g] i32 scratch
         sems,        # [2, 2] DMA semaphores
     ):
         n_win = meta_ref[0, 3, 0]
@@ -318,13 +339,35 @@ def _make_grouped_kernel(
             @pl.when(w0 < n_win)
             def _start(w0=w0):
                 win_dma(w0, w0).start()
-                aux_dma(w0, w0).start()
+                if with_aux:
+                    aux_dma(w0, w0).start()
         acc_d[:] = jnp.full_like(acc_d, MASKED)
         acc_i[:] = jnp.full_like(acc_i, -1)
+        if fold_every > 1:
+            cbuf_d[:] = jnp.full_like(cbuf_d, MASKED)
+            cbuf_i[:] = jnp.full_like(cbuf_i, -1)
         q_sq = q_aux_ref[:, 0]
         # pair→window ownership rides q_aux as f32 (exact for ints < 2^24);
         # a separate [1, g] i32 VMEM block would violate the min-tile rule
         lane_widx = q_aux_ref[:, 2]  # [g] f32
+
+        def _fold(bin_d, bin_i):
+            cand_d = jnp.concatenate([acc_d[:, :], bin_d], axis=0)
+            cand_i = jnp.concatenate([acc_i[:, :], bin_i], axis=0)
+            rows = cand_d.shape[0]
+            sub_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, g), 0)
+            sel_d = []
+            sel_i = []
+            for _j in range(k_pad):
+                m = jnp.min(cand_d, axis=0)
+                am2 = jnp.argmin(cand_d, axis=0)
+                onehot = sub_iota == am2[None, :]
+                iv = jnp.sum(jnp.where(onehot, cand_i, 0), axis=0)
+                sel_d.append(m)
+                sel_i.append(iv)
+                cand_d = jnp.where(onehot, MASKED, cand_d)
+            acc_d[:, :] = jnp.stack(sel_d, axis=0)
+            acc_i[:, :] = jnp.stack(sel_i, axis=0)
 
         def body(w, _):
             slot = jax.lax.rem(w, n_slots)
@@ -333,17 +376,22 @@ def _make_grouped_kernel(
             @pl.when(w + n_slots - 1 < n_win)
             def _prefetch():
                 win_dma(nxt, w + n_slots - 1).start()
-                aux_dma(nxt, w + n_slots - 1).start()
+                if with_aux:
+                    aux_dma(nxt, w + n_slots - 1).start()
 
             win_dma(slot, w).wait()
-            aux_dma(slot, w).wait()
+            if with_aux:
+                aux_dma(slot, w).wait()
 
             s = meta_ref[0, 0, w]
             off = meta_ref[0, 1, w]
             ln = meta_ref[0, 2, w]
 
             dots = _win_dots(wbuf[slot], q_ref[:], acc_t)  # [w_pad, g] — ONE matmul for every pair probing this window
-            d = _window_dists(metric, dots, q_sq, abuf[slot])
+            if with_aux:
+                d = _window_dists(metric, dots, q_sq, abuf[slot])
+            else:  # IP over a fully-live table: rank form needs no aux
+                d = 1.0 - dots.astype(jnp.float32)
 
             r = jax.lax.broadcasted_iota(jnp.int32, (w_pad, g), 0)
             keep = (
@@ -368,22 +416,31 @@ def _make_grouped_kernel(
             bin_d = jnp.concatenate(bds, axis=0)
             bin_i = jnp.concatenate(bis, axis=0)
 
-            cand_d = jnp.concatenate([acc_d[:, :], bin_d], axis=0)
-            cand_i = jnp.concatenate([acc_i[:, :], bin_i], axis=0)
-            rows = cand_d.shape[0]
-            sub_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, g), 0)
-            sel_d = []
-            sel_i = []
-            for _j in range(k_pad):
-                m = jnp.min(cand_d, axis=0)
-                am2 = jnp.argmin(cand_d, axis=0)
-                onehot = sub_iota == am2[None, :]
-                iv = jnp.sum(jnp.where(onehot, cand_i, 0), axis=0)
-                sel_d.append(m)
-                sel_i.append(iv)
-                cand_d = jnp.where(onehot, MASKED, cand_d)
-            acc_d[:, :] = jnp.stack(sel_d, axis=0)
-            acc_i[:, :] = jnp.stack(sel_i, axis=0)
+            if fold_every == 1:
+                _fold(bin_d, bin_i)
+                return 0
+
+            # stash this window's candidates in the fold ring; fold when
+            # the ring fills or the window stream ends
+            if n_cand_pad > n_cand:
+                pad = jnp.full((n_cand_pad - n_cand, g), MASKED)
+                bin_d = jnp.concatenate([bin_d, pad], axis=0)
+                bin_i = jnp.concatenate(
+                    [bin_i, jnp.full((n_cand_pad - n_cand, g), -1, jnp.int32)],
+                    axis=0,
+                )
+            phase = jax.lax.rem(w, fold_every)
+            for ph in range(fold_every):
+                @pl.when(phase == ph)
+                def _store(ph=ph):
+                    cbuf_d[ph * n_cand_pad:(ph + 1) * n_cand_pad, :] = bin_d
+                    cbuf_i[ph * n_cand_pad:(ph + 1) * n_cand_pad, :] = bin_i
+
+            @pl.when((phase == fold_every - 1) | (w == n_win - 1))
+            def _flush():
+                _fold(cbuf_d[:, :], cbuf_i[:, :])
+                cbuf_d[:] = jnp.full_like(cbuf_d, MASKED)
+                cbuf_i[:] = jnp.full_like(cbuf_i, -1)
             return 0
 
         jax.lax.fori_loop(0, n_win, body, 0)
@@ -810,7 +867,7 @@ def pallas_ivf_probe_binned(
     return out_d, out_i
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(0, 6, 7, 8, 9, 10, 11, 12, 13))
 def pallas_ivf_probe_grouped(
     metric: MetricKind,
     q_g: jnp.ndarray,        # [P, D] gathered pair-query rows; P % g == 0
@@ -824,18 +881,25 @@ def pallas_ivf_probe_grouped(
     bin_m: int = 4,
     interpret: bool = False,
     n_slots: int = 2,
+    fold_every: int = 1,
+    with_aux: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Grouped probe: returns per-PAIR (dists [P, k] f32, ids [P, k] i32).
-    ``n_slots``: DMA ring depth (see _make_grouped_kernel)."""
+    ``n_slots``: DMA ring depth; ``fold_every``: windows per running-fold
+    invocation; ``with_aux=False``: IP fully-live fast path — skips the
+    per-window aux DMA + penalty add (see _make_grouped_kernel)."""
     p_total, d_width = q_g.shape
     cap2 = table.shape[0]
     aux_rows = t_aux.shape[0]
     assert p_total % g == 0 and w_pad % _LANES == 0 and cap2 >= w_pad
+    assert with_aux or metric == MetricKind.IP
     k_pad = max(k, 8)
     cells = p_total // g
+    bin_m = min(bin_m, k_pad)
+    n_cand_pad = ((bin_m * (w_pad // _LANES) + 7) // 8) * 8
 
     kernel = _make_grouped_kernel(
-        metric, k_pad, w_pad, g, min(bin_m, k_pad), n_slots
+        metric, k_pad, w_pad, g, bin_m, n_slots, fold_every, with_aux
     )
     out_d, out_i = pl.pallas_call(
         kernel,
@@ -860,6 +924,8 @@ def pallas_ivf_probe_grouped(
             pltpu.VMEM((n_slots, aux_rows, w_pad), jnp.float32),
             pltpu.VMEM((k_pad, g), jnp.float32),
             pltpu.VMEM((k_pad, g), jnp.int32),
+            pltpu.VMEM((max(fold_every, 1) * n_cand_pad, g), jnp.float32),
+            pltpu.VMEM((max(fold_every, 1) * n_cand_pad, g), jnp.int32),
             pltpu.SemaphoreType.DMA((n_slots, 2)),
         ],
         interpret=interpret,
