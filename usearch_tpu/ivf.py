@@ -1531,12 +1531,13 @@ def _ivf_probe_search_dense_grouped(
         )
 
     bin_m = _GROUP_BINM or (4 if nprobe * (w_pad // 128) >= 8 * k else k)
-    # adaptive DMA ring: at sparse probe densities (pairs/chunk < 1/2)
-    # windows stop being back-to-back in HBM and deeper prefetch buys
-    # ~20% (100M on-chip A/B at nprobe=2: 35.3k → 43.2k QPS at depth 8);
-    # at dense coverage depth is neutral, so keep the lean ring
+    # adaptive DMA ring: at sparse probe densities (pairs/chunk < 2)
+    # windows stop being back-to-back in HBM and deeper prefetch hides the
+    # fetch latency (100M A/Bs at depth 8: nprobe=2 +13%, nprobe=4 +34% —
+    # the r4 "nprobe=4-6 dip" was this threshold sitting at density 1/2);
+    # at dense coverage depth is neutral, so keep the lean ring there
     n_chunks = int(lens.shape[0])
-    ring = _PROBE_RING or (8 if n_q * nprobe * 2 < n_chunks else 2)
+    ring = _PROBE_RING or (8 if n_q * nprobe < 2 * n_chunks else 2)
     # IP over a fully-live mask skips the per-window aux DMA + penalty add
     # (on-chip: 8.2 → 5.6 us/window at the 100M shape); the caller asserts
     # liveness via `all_live` (a host-known fact, so it is a static arg)
